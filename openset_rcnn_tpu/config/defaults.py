@@ -1,0 +1,198 @@
+"""Default configuration.
+
+Covers the subset of detectron2's default config tree the reference composes
+(SURVEY.md §2.4, §5.6) plus the Openset-RCNN extras added by
+``add_openset_rcnn_config`` (reference: openset_rcnn/config/config.py:6-43).
+Key names match the reference so its YAML configs port 1:1, with a small
+``TPU`` node for TPU-specific static-shape/bucketing knobs that have no
+reference equivalent.
+"""
+from .cfg_node import CfgNode as CN
+
+
+def get_default_cfg() -> CN:
+    _C = CN()
+    _C.VERSION = 2
+    _C.OUTPUT_DIR = "./output"
+    _C.SEED = -1
+    _C.OPENDET_BENCHMARK = False
+
+    # ------------------------------------------------------------------ MODEL
+    _C.MODEL = CN()
+    _C.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    _C.MODEL.WEIGHTS = ""
+    _C.MODEL.MASK_ON = False
+    # BGR means, matching d2's GeneralizedRCNN preprocessing (SURVEY.md §2.4)
+    _C.MODEL.PIXEL_MEAN = [103.530, 116.280, 123.675]
+    _C.MODEL.PIXEL_STD = [1.0, 1.0, 1.0]
+
+    _C.MODEL.BACKBONE = CN()
+    _C.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    _C.MODEL.BACKBONE.FREEZE_AT = 2
+
+    _C.MODEL.RESNETS = CN()
+    _C.MODEL.RESNETS.DEPTH = 50
+    _C.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    _C.MODEL.RESNETS.NUM_GROUPS = 1
+    _C.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+    _C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+    _C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+    _C.MODEL.RESNETS.NORM = "FrozenBN"
+    _C.MODEL.RESNETS.STRIDE_IN_1X1 = True
+
+    _C.MODEL.FPN = CN()
+    _C.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    _C.MODEL.FPN.OUT_CHANNELS = 256
+    _C.MODEL.FPN.FUSE_TYPE = "sum"
+
+    _C.MODEL.ANCHOR_GENERATOR = CN()
+    _C.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    _C.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+    _C.MODEL.ANCHOR_GENERATOR.OFFSET = 0.0
+
+    _C.MODEL.PROPOSAL_GENERATOR = CN()
+    _C.MODEL.PROPOSAL_GENERATOR.NAME = "ClsFreeRPN"
+    _C.MODEL.PROPOSAL_GENERATOR.MIN_SIZE = 0
+
+    _C.MODEL.RPN = CN()
+    _C.MODEL.RPN.HEAD_NAME = "ClsFreeRPNHead"
+    _C.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    _C.MODEL.RPN.CONV_DIMS = [-1]
+    _C.MODEL.RPN.IOU_THRESHOLDS = [0.3, 0.7]
+    _C.MODEL.RPN.IOU_LABELS = [0, -1, 1]
+    _C.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+    _C.MODEL.RPN.POSITIVE_FRACTION = 0.5
+    _C.MODEL.RPN.BBOX_REG_LOSS_TYPE = "smooth_l1"
+    _C.MODEL.RPN.BBOX_REG_LOSS_WEIGHT = 1.0
+    _C.MODEL.RPN.SMOOTH_L1_BETA = 0.0
+    _C.MODEL.RPN.LOSS_WEIGHT = 1.0
+    _C.MODEL.RPN.BOUNDARY_THRESH = -1
+    _C.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2000
+    _C.MODEL.RPN.PRE_NMS_TOPK_TEST = 1000
+    _C.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1000
+    _C.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
+    _C.MODEL.RPN.NMS_THRESH = 0.7
+    # --- Openset-RCNN extras (reference config/config.py:12-17) ---
+    _C.MODEL.RPN.CTR_REG_LOSS_WEIGHT = 1.0
+    _C.MODEL.RPN.CTR_REG_LOSS_TYPE = "smooth_l1"
+    _C.MODEL.RPN.CTR_SMOOTH_L1_BETA = 0.0
+    _C.MODEL.RPN.IOU_THRESHOLDS_OBJECTNESS = [0.1, 0.3]
+    _C.MODEL.RPN.POSITIVE_FRACTION_OBJECTNESS = 1.0
+    _C.MODEL.RPN.NMS_THRESH_TEST = 1.0
+
+    _C.MODEL.ROI_HEADS = CN()
+    _C.MODEL.ROI_HEADS.NAME = "OpensetROIHeads"
+    _C.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    _C.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    _C.MODEL.ROI_HEADS.IOU_THRESHOLDS = [0.5]
+    _C.MODEL.ROI_HEADS.IOU_LABELS = [0, 1]
+    _C.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+    _C.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+    _C.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT = True
+    _C.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    _C.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    # --- Openset-RCNN extras (reference config/config.py:24-33) ---
+    _C.MODEL.ROI_HEADS.MEAN_TYPE = "geometric"
+    _C.MODEL.ROI_HEADS.OBJ_SCORE_THRESH_TEST = 0.05
+    _C.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES = 20
+    _C.MODEL.ROI_HEADS.KNOWN_SCORE_THRESH = 0.05
+    _C.MODEL.ROI_HEADS.KNOWN_NMS_THRESH = 0.5
+    _C.MODEL.ROI_HEADS.KNOWN_TOPK = 1000
+    _C.MODEL.ROI_HEADS.UNKNOWN_SCORE_THRESH = 0.05
+    _C.MODEL.ROI_HEADS.UNKNOWN_NMS_THRESH = 0.5
+    _C.MODEL.ROI_HEADS.UNKNOWN_TOPK = 1000
+    _C.MODEL.ROI_HEADS.UNKNOWN_ID = 1000
+
+    _C.MODEL.ROI_BOX_HEAD = CN()
+    _C.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"
+    _C.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    _C.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
+    _C.MODEL.ROI_BOX_HEAD.NUM_CONV = 0
+    _C.MODEL.ROI_BOX_HEAD.CONV_DIM = 256
+    _C.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    _C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
+    _C.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+    _C.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+    _C.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE = "smooth_l1"
+    _C.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_WEIGHT = 1.0
+    _C.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA = 0.0
+    _C.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
+    _C.MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES = False
+    # --- Openset-RCNN extras (reference config/config.py:19-22) ---
+    _C.MODEL.ROI_BOX_HEAD.IOU_REG_LOSS_WEIGHT = 1.0
+    _C.MODEL.ROI_BOX_HEAD.IOU_REG_LOSS_TYPE = "smooth_l1"
+    _C.MODEL.ROI_BOX_HEAD.IOU_SMOOTH_L1_BETA = 0.0
+    _C.MODEL.ROI_BOX_HEAD.CLS_LOSS_WEIGHT = 1.0
+
+    # --- Prototype Learning Network (reference config/config.py:35-43) ---
+    _C.MODEL.PLN = CN()
+    _C.MODEL.PLN.EMD_DIM = 256
+    _C.MODEL.PLN.DISTANCE_TYPE = "COS"  # L1, L2, COS
+    _C.MODEL.PLN.REPS_PER_CLASS = 1
+    _C.MODEL.PLN.ALPHA = 0.1
+    _C.MODEL.PLN.BETA = 0.9
+    _C.MODEL.PLN.IOU_THRESHOLD = 0.5
+    _C.MODEL.PLN.UNK_THR = 0.4
+    _C.MODEL.PLN.LOSS_WEIGHT = 2.0
+
+    # ------------------------------------------------------------------ DATA
+    _C.DATASETS = CN()
+    _C.DATASETS.TRAIN = ()
+    _C.DATASETS.TEST = ()
+
+    _C.DATALOADER = CN()
+    _C.DATALOADER.NUM_WORKERS = 4
+    _C.DATALOADER.ASPECT_RATIO_GROUPING = True
+    _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+
+    _C.INPUT = CN()
+    _C.INPUT.MIN_SIZE_TRAIN = (640, 672, 704, 736, 768, 800)
+    _C.INPUT.MAX_SIZE_TRAIN = 1333
+    _C.INPUT.MIN_SIZE_TEST = 800
+    _C.INPUT.MAX_SIZE_TEST = 1333
+    _C.INPUT.RANDOM_FLIP = "horizontal"
+    _C.INPUT.FORMAT = "BGR"
+
+    # ---------------------------------------------------------------- SOLVER
+    _C.SOLVER = CN()
+    _C.SOLVER.IMS_PER_BATCH = 16
+    _C.SOLVER.BASE_LR = 0.02
+    _C.SOLVER.MOMENTUM = 0.9
+    _C.SOLVER.WEIGHT_DECAY = 0.0001
+    _C.SOLVER.GAMMA = 0.1
+    _C.SOLVER.STEPS = (60000, 80000)
+    _C.SOLVER.MAX_ITER = 90000
+    _C.SOLVER.WARMUP_FACTOR = 1.0 / 1000
+    _C.SOLVER.WARMUP_ITERS = 1000
+    _C.SOLVER.WARMUP_METHOD = "linear"
+    _C.SOLVER.CHECKPOINT_PERIOD = 5000
+    _C.SOLVER.CLIP_GRADIENTS = CN()
+    _C.SOLVER.CLIP_GRADIENTS.ENABLED = False
+    _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+
+    # ------------------------------------------------------------------ TEST
+    _C.TEST = CN()
+    _C.TEST.EVAL_PERIOD = 0
+    _C.TEST.DETECTIONS_PER_IMAGE = 100
+
+    # ------------------------------------------------- TPU-native extensions
+    # Static-shape knobs; no reference equivalent (SURVEY.md §7.1).
+    _C.TPU = CN()
+    _C.TPU.MAX_GT_PER_IMAGE = 100          # GT boxes padded per image
+    _C.TPU.TRAIN_BUCKET = (832, 1344)      # train pad bucket (H, W), /32 divisible
+    _C.TPU.TEST_BUCKET = (832, 1344)       # test pad bucket (H, W)
+    _C.TPU.SIZE_DIVISIBILITY = 32
+    _C.TPU.ROI_SAMPLING_RATIO = 2          # RoIAlign samples/bin axis (static)
+    _C.TPU.MAX_DETECTIONS_DEVICE = 100     # fused on-device inference cap
+    _C.TPU.DTYPE = "float32"               # compute dtype for conv trunk
+    _C.TPU.MESH_DATA = -1                  # data-parallel axis size (-1: all devices)
+    _C.TPU.MESH_MODEL = 1                  # model-parallel axis size
+
+    return _C
+
+
+def add_openset_rcnn_config(cfg: CN) -> CN:
+    """Kept for interface parity with the reference
+    (openset_rcnn/config/config.py:6); our defaults already include the
+    openset keys, so this is a no-op returning cfg."""
+    return cfg
