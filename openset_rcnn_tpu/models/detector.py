@@ -1,0 +1,349 @@
+"""OpensetRCNN: the full two-stage open-set detector + jitted step builders.
+
+TPU-native equivalent of d2's ``GeneralizedRCNN`` composed with the
+reference's ``ClsFreeRPN`` + ``OpensetROIHeads``
+(configs/Base-RCNN-FPN.yaml:2, SURVEY.md §3.1-3.2). The whole training
+forward — preprocess, backbone, both stages, all six losses
+{rpn_loc, rpn_ctr, box_reg, iou, dml, cls} — lives in ONE jitted
+``train_step``; inference emits fixed-shape ``RawDetections`` consumed by the
+host-side cascade (evaluation/postprocess.py).
+
+Anchors are precomputed per static image bucket and constant-folded under
+jit (SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import Box2BoxTransform, Box2BoxTransformLinear
+from ..ops.anchors import fpn_anchors
+from ..structures import GroundTruth, ImageBatch, Proposals, RawDetections
+from .fpn import FPN
+from .resnet import ResNet
+from .roi_heads import (
+    BoxHead,
+    BoxIouPredictor,
+    KnownClassifier,
+    PLNHead,
+    box_iou_losses,
+    classifier_loss,
+    label_and_sample_proposals,
+    pln_loss,
+    pool_features,
+    raw_detections,
+)
+from .rpn import ClsFreeRPNHead, rpn_losses, rpn_targets, select_proposals
+
+RPN_STRIDES = (4, 8, 16, 32, 64)
+ROI_STRIDES = (4, 8, 16, 32)
+
+
+class ModelSpec(NamedTuple):
+    """Static hyperparameters distilled from a CfgNode (hashable for jit)."""
+
+    num_classes: int
+    num_known_classes: int
+    pixel_mean: Tuple[float, ...]
+    pixel_std: Tuple[float, ...]
+    anchor_sizes: Tuple[Tuple[float, ...], ...]
+    anchor_aspect_ratios: Tuple[float, ...]
+    # rpn
+    rpn_batch_size: int
+    rpn_positive_fraction: float
+    rpn_obj_positive_fraction: float
+    rpn_reg_thresholds: Tuple[float, float]
+    rpn_obj_thresholds: Tuple[float, float]
+    rpn_loc_weight: float
+    rpn_ctr_weight: float
+    rpn_box_reg_loss_type: str
+    rpn_ctr_smooth_l1_beta: float
+    pre_nms_topk_train: int
+    pre_nms_topk_test: int
+    min_box_size: float
+    # roi
+    roi_batch_size: int
+    roi_positive_fraction: float
+    roi_iou_threshold: float
+    fc_dim: int
+    pooler_resolution: int
+    roi_sampling_ratio: int
+    bbox_reg_weights: Tuple[float, ...]
+    box_reg_loss_type: str
+    box_smooth_l1_beta: float
+    iou_smooth_l1_beta: float
+    box_loss_weight: float
+    iou_loss_weight: float
+    cls_loss_weight: float
+    mean_type: str
+    # pln
+    emd_dim: int
+    distance_type: str
+    reps_per_class: int
+    pln_alpha: float
+    pln_beta: float
+    pln_iou_threshold: float
+    pln_loss_weight: float
+    unk_thr: float
+    # mapping
+    id_map: Tuple[int, ...]  # contiguous id (+bg) -> known index / -1
+    # misc
+    freeze_at: int
+    compute_dtype: str
+
+    @staticmethod
+    def from_cfg(cfg, id_map: Sequence[int]) -> "ModelSpec":
+        m = cfg.MODEL
+        return ModelSpec(
+            num_classes=m.ROI_HEADS.NUM_CLASSES,
+            num_known_classes=m.ROI_HEADS.NUM_KNOWN_CLASSES,
+            pixel_mean=tuple(m.PIXEL_MEAN),
+            pixel_std=tuple(m.PIXEL_STD),
+            anchor_sizes=tuple(tuple(s) for s in m.ANCHOR_GENERATOR.SIZES),
+            anchor_aspect_ratios=tuple(m.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+            rpn_batch_size=m.RPN.BATCH_SIZE_PER_IMAGE,
+            rpn_positive_fraction=m.RPN.POSITIVE_FRACTION,
+            rpn_obj_positive_fraction=m.RPN.POSITIVE_FRACTION_OBJECTNESS,
+            rpn_reg_thresholds=tuple(m.RPN.IOU_THRESHOLDS),
+            rpn_obj_thresholds=tuple(m.RPN.IOU_THRESHOLDS_OBJECTNESS),
+            rpn_loc_weight=m.RPN.BBOX_REG_LOSS_WEIGHT * m.RPN.LOSS_WEIGHT,
+            rpn_ctr_weight=m.RPN.CTR_REG_LOSS_WEIGHT * m.RPN.LOSS_WEIGHT,
+            rpn_box_reg_loss_type=m.RPN.BBOX_REG_LOSS_TYPE,
+            rpn_ctr_smooth_l1_beta=m.RPN.CTR_SMOOTH_L1_BETA,
+            pre_nms_topk_train=m.RPN.PRE_NMS_TOPK_TRAIN,
+            pre_nms_topk_test=m.RPN.PRE_NMS_TOPK_TEST,
+            min_box_size=float(m.PROPOSAL_GENERATOR.MIN_SIZE),
+            roi_batch_size=m.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            roi_positive_fraction=m.ROI_HEADS.POSITIVE_FRACTION,
+            roi_iou_threshold=m.ROI_HEADS.IOU_THRESHOLDS[0],
+            fc_dim=m.ROI_BOX_HEAD.FC_DIM,
+            pooler_resolution=m.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            roi_sampling_ratio=cfg.TPU.ROI_SAMPLING_RATIO,
+            bbox_reg_weights=tuple(m.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+            box_reg_loss_type=m.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE,
+            box_smooth_l1_beta=m.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+            iou_smooth_l1_beta=m.ROI_BOX_HEAD.IOU_SMOOTH_L1_BETA,
+            box_loss_weight=m.ROI_BOX_HEAD.BBOX_REG_LOSS_WEIGHT,
+            iou_loss_weight=m.ROI_BOX_HEAD.IOU_REG_LOSS_WEIGHT,
+            cls_loss_weight=m.ROI_BOX_HEAD.CLS_LOSS_WEIGHT,
+            mean_type=m.ROI_HEADS.MEAN_TYPE,
+            emd_dim=m.PLN.EMD_DIM,
+            distance_type=m.PLN.DISTANCE_TYPE,
+            reps_per_class=m.PLN.REPS_PER_CLASS,
+            pln_alpha=m.PLN.ALPHA,
+            pln_beta=m.PLN.BETA,
+            pln_iou_threshold=m.PLN.IOU_THRESHOLD,
+            pln_loss_weight=m.PLN.LOSS_WEIGHT,
+            unk_thr=m.PLN.UNK_THR,
+            id_map=tuple(int(i) for i in id_map),
+            freeze_at=m.BACKBONE.FREEZE_AT,
+            compute_dtype=cfg.TPU.DTYPE,
+        )
+
+
+def opendet_id_map(num_classes: int, num_known: int) -> List[int]:
+    """OpenDet benchmark mapping (softmax_classifier.py:223-229): contiguous
+    ids < num_known map to themselves, background (num_classes) -> num_known,
+    everything else -> -1."""
+    out = [-1] * (num_classes + 1)
+    for i in range(num_known):
+        out[i] = i
+    out[num_classes] = num_known
+    return out
+
+
+def known_ids_id_map(num_classes: int, known_contiguous_ids: Sequence[int]) -> List[int]:
+    """GraspNet-style mapping (softmax_classifier.py:231-245): sorted known
+    contiguous ids map to 0..K-1, background -> K, others -> -1."""
+    out = [-1] * (num_classes + 1)
+    for i, v in enumerate(sorted(known_contiguous_ids)):
+        out[v] = i
+    out[num_classes] = len(known_contiguous_ids)
+    return out
+
+
+class OpensetRCNNModule(nn.Module):
+    """Flax module holding all parameters; pure functions do the rest."""
+
+    spec: ModelSpec
+
+    def setup(self):
+        dtype = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else jnp.float32
+        num_anchors = len(self.spec.anchor_aspect_ratios) * len(self.spec.anchor_sizes[0])
+        self.backbone = ResNet(depth=50, compute_dtype=dtype)
+        self.fpn = FPN(out_channels=256, compute_dtype=dtype)
+        self.rpn_head = ClsFreeRPNHead(conv_dim=256, num_anchors=num_anchors)
+        self.box_head = BoxHead(fc_dim=self.spec.fc_dim)
+        self.box_predictor = BoxIouPredictor()
+        self.pln = PLNHead(
+            feature_dim=self.spec.fc_dim,
+            embedding_dim=self.spec.emd_dim,
+            num_known_classes=self.spec.num_known_classes,
+            reps_per_class=self.spec.reps_per_class,
+        )
+        self.classifier = KnownClassifier(num_known_classes=self.spec.num_known_classes)
+
+    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.asarray(self.spec.pixel_mean)
+        std = jnp.asarray(self.spec.pixel_std)
+        return (images - mean) / std
+
+    def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        x = self.preprocess(images)
+        return self.fpn(self.backbone(x))
+
+    def rpn_predictions(self, fpn_feats, in_features=("p2", "p3", "p4", "p5", "p6")):
+        feats = [fpn_feats[f] for f in in_features]
+        deltas, ctrs = self.rpn_head(feats)
+        level_sizes = [d.shape[1] for d in deltas]
+        return jnp.concatenate(deltas, 1), jnp.concatenate(ctrs, 1), level_sizes
+
+    def roi_forward(self, fpn_feats, boxes):
+        pooled = pool_features(
+            fpn_feats,
+            boxes,
+            resolution=self.spec.pooler_resolution,
+            sampling_ratio=self.spec.roi_sampling_ratio,
+        )
+        feats = self.box_head(pooled)                      # (B, S, fc_dim)
+        deltas, iou = self.box_predictor(feats)            # (B, S, 4), (B, S)
+        emb, rec, reps = self.pln(feats)                   # (B,S,E), (B,S,F), (Kr,E)
+        logits = self.classifier(rec)                      # (B, S, K+1)
+        return feats, deltas, iou, emb, rec, reps, logits
+
+    def __call__(self, images: jnp.ndarray):
+        """Parameter-initialization path: touch every submodule."""
+        fpn_feats = self.features(images)
+        deltas, ctrs, level_sizes = self.rpn_predictions(fpn_feats)
+        dummy_boxes = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (images.shape[0], 8, 1))
+        return self.roi_forward(fpn_feats, dummy_boxes)
+
+
+def compute_anchors(spec: ModelSpec, image_hw: Tuple[int, int]) -> Tuple[np.ndarray, List[int]]:
+    per_level = fpn_anchors(
+        image_hw, RPN_STRIDES, spec.anchor_sizes, spec.anchor_aspect_ratios
+    )
+    sizes = [a.shape[0] for a in per_level]
+    return np.concatenate(per_level, 0), sizes
+
+
+def training_losses(
+    module: OpensetRCNNModule,
+    params,
+    batch: ImageBatch,
+    rng: jax.Array,
+    spec: ModelSpec,
+    anchors: jnp.ndarray,
+    level_sizes: Sequence[int],
+) -> Dict[str, jnp.ndarray]:
+    """All six reference losses for one batch (SURVEY.md §3.1)."""
+    rpn_key, roi_key = jax.random.split(rng)
+    linear_tf = Box2BoxTransformLinear(normalize_by_size=True)
+    roi_tf = Box2BoxTransform(spec.bbox_reg_weights)
+
+    def fwd(p):
+        fpn_feats = module.apply({"params": p}, batch.images, method=OpensetRCNNModule.features)
+        deltas, ctrs, _ = module.apply(
+            {"params": p}, fpn_feats, method=OpensetRCNNModule.rpn_predictions
+        )
+        return fpn_feats, deltas, ctrs
+
+    fpn_feats, pred_deltas, pred_ctr = fwd(params)
+
+    # --- RPN losses (targets are stop-gradient by construction) ---
+    targets = rpn_targets(
+        anchors, batch.gt, rpn_key,
+        batch_size_per_image=spec.rpn_batch_size,
+        positive_fraction=spec.rpn_positive_fraction,
+        objectness_positive_fraction=spec.rpn_obj_positive_fraction,
+        reg_thresholds=spec.rpn_reg_thresholds,
+        obj_thresholds=spec.rpn_obj_thresholds,
+    )
+    losses = rpn_losses(
+        anchors, pred_deltas, pred_ctr, targets, linear_tf,
+        batch_size_per_image=spec.rpn_batch_size,
+        loc_weight=spec.rpn_loc_weight,
+        ctr_weight=spec.rpn_ctr_weight,
+        box_reg_loss_type=spec.rpn_box_reg_loss_type,
+        ctr_smooth_l1_beta=spec.rpn_ctr_smooth_l1_beta,
+    )
+
+    # --- Proposals (treated as constants for the second stage, ref :574-577) ---
+    proposals = select_proposals(
+        anchors,
+        jax.lax.stop_gradient(pred_deltas),
+        jax.lax.stop_gradient(pred_ctr),
+        level_sizes,
+        batch.image_hw,
+        linear_tf,
+        pre_topk=spec.pre_nms_topk_train,
+        min_box_size=spec.min_box_size,
+    )
+
+    rois = label_and_sample_proposals(
+        proposals, batch.gt, roi_key,
+        num_samples=spec.roi_batch_size,
+        positive_fraction=spec.roi_positive_fraction,
+        iou_threshold=spec.roi_iou_threshold,
+        num_classes=spec.num_classes,
+    )
+
+    _, deltas, iou, emb, rec, reps, logits = module.apply(
+        {"params": params}, fpn_feats, rois.boxes, method=OpensetRCNNModule.roi_forward
+    )
+
+    losses.update(
+        box_iou_losses(
+            deltas, iou, rois, roi_tf, spec.num_classes,
+            box_weight=spec.box_loss_weight,
+            iou_weight=spec.iou_loss_weight,
+            box_smooth_l1_beta=spec.box_smooth_l1_beta,
+            iou_smooth_l1_beta=spec.iou_smooth_l1_beta,
+            box_reg_loss_type=spec.box_reg_loss_type,
+        )
+    )
+    id_map = jnp.asarray(spec.id_map, jnp.int32)
+    losses["loss_dml"] = pln_loss(
+        emb, reps, rois, id_map,
+        spec.num_known_classes, spec.reps_per_class,
+        spec.pln_alpha, spec.pln_beta, spec.pln_iou_threshold,
+        spec.pln_loss_weight, spec.distance_type,
+    )
+    losses["loss_cls"] = classifier_loss(logits, rois, id_map, spec.cls_loss_weight)
+    return losses
+
+
+def inference_forward(
+    module: OpensetRCNNModule,
+    params,
+    images: jnp.ndarray,
+    image_hw: jnp.ndarray,
+    spec: ModelSpec,
+    anchors: jnp.ndarray,
+    level_sizes: Sequence[int],
+) -> RawDetections:
+    """Device part of inference; the host cascade finishes it."""
+    linear_tf = Box2BoxTransformLinear(normalize_by_size=True)
+    roi_tf = Box2BoxTransform(spec.bbox_reg_weights)
+
+    fpn_feats = module.apply({"params": params}, images, method=OpensetRCNNModule.features)
+    pred_deltas, pred_ctr, _ = module.apply(
+        {"params": params}, fpn_feats, method=OpensetRCNNModule.rpn_predictions
+    )
+    proposals = select_proposals(
+        anchors, pred_deltas, pred_ctr, level_sizes, image_hw, linear_tf,
+        pre_topk=spec.pre_nms_topk_test, min_box_size=spec.min_box_size,
+    )
+    _, deltas, iou, emb, rec, reps, logits = module.apply(
+        {"params": params}, fpn_feats, proposals.boxes, method=OpensetRCNNModule.roi_forward
+    )
+    return raw_detections(
+        proposals, deltas, iou, emb, reps, logits, image_hw, roi_tf,
+        spec.num_known_classes, spec.reps_per_class,
+        mean_type=spec.mean_type, distance_type=spec.distance_type,
+    )
