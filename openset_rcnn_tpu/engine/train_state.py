@@ -1,0 +1,64 @@
+"""Train state + the single jitted train step (SURVEY.md §7.1).
+
+One ``train_step(state, batch, rng) -> (state, metrics)`` contains forward,
+all six losses, backward, (sharded) gradient reduction, and the SGD update —
+the TPU-native collapse of the reference's hot loop (train.py:132-148).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import OpensetRCNNModule, training_losses
+from ..structures import ImageBatch
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )
+
+
+def make_train_step(
+    module: OpensetRCNNModule,
+    tx: optax.GradientTransformation,
+    spec,
+    anchors,
+    level_sizes: Sequence[int],
+    lr_schedule: Callable | None = None,
+) -> Callable[[TrainState, ImageBatch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    anchors = jnp.asarray(anchors)
+
+    def loss_fn(params, batch, rng):
+        losses = training_losses(module, params, batch, rng, spec, anchors, level_sizes)
+        total = sum(losses.values())
+        return total, losses
+
+    def train_step(state: TrainState, batch: ImageBatch, rng: jax.Array):
+        # Per-step RNG: fold in the step so resume is deterministic
+        # (replaces the reference's global torch RNG stream).
+        step_rng = jax.random.fold_in(rng, state.step)
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        new_state = TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state)
+        return new_state, metrics
+
+    return train_step

@@ -1,12 +1,22 @@
+"""Test harness config.
+
+Tests run on a virtual 8-device CPU mesh (SURVEY.md §4 item 4) so
+multi-chip sharding paths are validated without hardware; the driver
+separately compile-checks on the real chip. The environment pre-registers a
+TPU PJRT plugin via sitecustomize before pytest starts, so the platform
+must be overridden through jax.config (env vars are read too early).
+"""
 import os
 
-# Tests run on a virtual 8-device CPU mesh (SURVEY.md §4 item 4): multi-chip
-# sharding paths are validated without hardware; the driver separately
-# compile-checks on the real chip.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

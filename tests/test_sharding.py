@@ -1,0 +1,102 @@
+"""Multi-device (virtual 8-CPU mesh) data+model parallel train step.
+
+SURVEY.md §4 item 4: pjit the train step over a ('data', 'model') mesh and
+assert it matches the single-device run.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openset_rcnn_tpu.config import get_default_cfg
+from openset_rcnn_tpu.engine import build_optimizer, create_train_state, make_train_step
+from openset_rcnn_tpu.models import (
+    ModelSpec,
+    OpensetRCNNModule,
+    compute_anchors,
+    opendet_id_map,
+)
+from openset_rcnn_tpu.parallel import batch_sharding, make_mesh, param_sharding, replicated
+from openset_rcnn_tpu.structures import GroundTruth, ImageBatch
+
+H = W = 64
+B, G = 4, 4
+
+
+def tiny_cfg():
+    cfg = get_default_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 81
+    cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES = 20
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 50
+    cfg.MODEL.RPN.BBOX_REG_LOSS_TYPE = "iou"
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
+    cfg.SOLVER.WARMUP_ITERS = 10
+    cfg.SOLVER.BASE_LR = 0.001
+    return cfg
+
+
+def make_batch(rng):
+    images = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    boxes = np.zeros((B, G, 4), np.float32)
+    classes = np.zeros((B, G), np.int32)
+    valid = np.zeros((B, G), bool)
+    for b in range(B):
+        xy = rng.uniform(0, 25, (2, 2))
+        wh = rng.uniform(15, 30, (2, 2))
+        boxes[b, :2] = np.concatenate([xy, xy + wh], 1)
+        classes[b, :2] = rng.randint(0, 20, 2)
+        valid[b, :2] = True
+    gt = GroundTruth(jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(valid))
+    return ImageBatch(images=images, image_hw=jnp.asarray([[H, W]] * B, jnp.float32), gt=gt)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_step_matches_single_device(rng):
+    cfg = tiny_cfg()
+    spec = ModelSpec.from_cfg(cfg, opendet_id_map(81, 20))
+    module = OpensetRCNNModule(spec=spec)
+    params = jax.jit(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
+    )()
+    anchors, level_sizes = compute_anchors(spec, (H, W))
+    tx, sched = build_optimizer(cfg, params)
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(module, tx, spec, anchors, level_sizes, sched)
+    batch = make_batch(rng)
+    key = jax.random.PRNGKey(7)
+
+    # single device
+    s1, m1 = jax.jit(step_fn)(state, batch, key)
+
+    # 4x2 data x model mesh
+    mesh = make_mesh(data=4, model=2)
+    p_shard = param_sharding(params, mesh)
+    state_shard = jax.tree.map(lambda _: replicated(mesh), state)
+    state_shard = state_shard.replace(
+        params=p_shard,
+        opt_state=jax.tree.map(
+            lambda _: replicated(mesh), state.opt_state
+        ),
+    )
+    b_shard = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+    sharded_step = jax.jit(
+        step_fn,
+        in_shardings=(state_shard, b_shard, replicated(mesh)),
+        out_shardings=(state_shard, replicated(mesh)),
+    )
+    state_dev = jax.device_put(state, state_shard)
+    batch_dev = jax.device_put(batch, b_shard)
+    s2, m2 = sharded_step(state_dev, batch_dev, key)
+
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=2e-4
+    )
+    # a couple of updated params agree
+    a = np.asarray(s1.params["rpn_head"]["conv"]["kernel"])
+    b = np.asarray(s2.params["rpn_head"]["conv"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    fc1a = np.asarray(s1.params["box_head"]["fc1"]["kernel"])
+    fc1b = np.asarray(s2.params["box_head"]["fc1"]["kernel"])
+    np.testing.assert_allclose(fc1a, fc1b, atol=1e-5)
