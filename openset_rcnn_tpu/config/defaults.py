@@ -169,6 +169,7 @@ def get_default_cfg() -> CN:
     _C.SOLVER.CLIP_GRADIENTS = CN()
     _C.SOLVER.CLIP_GRADIENTS.ENABLED = False
     _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+    _C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "value"
 
     # ------------------------------------------------------------------ TEST
     _C.TEST = CN()

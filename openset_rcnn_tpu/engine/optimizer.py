@@ -97,7 +97,11 @@ def build_optimizer(cfg, params) -> tuple[optax.GradientTransformation, Callable
         optax.scale(-1.0),
     )
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
-        inner = optax.chain(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE), inner)
+        if cfg.SOLVER.CLIP_GRADIENTS.get("CLIP_TYPE", "value") == "norm":
+            clip = optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+        else:
+            clip = optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+        inner = optax.chain(clip, inner)
     labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask)
     tx = optax.multi_transform(
         {"train": inner, "freeze": optax.set_to_zero()}, param_labels=labels

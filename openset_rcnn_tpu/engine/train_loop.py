@@ -1,0 +1,225 @@
+"""Training / evaluation orchestration.
+
+The engine layer of the reference (train.py:81-208 — ``do_train``,
+``do_test``, ``get_evaluator``) rebuilt around jitted steps: the host loop
+only moves batches, rotates RNG, writes metrics, checkpoints, and launches
+periodic eval. Per-bucket compiled train steps keep shapes static.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CfgNode
+from ..data import (
+    DatasetCatalog,
+    DetectionTransform,
+    EvalLoader,
+    MetadataCatalog,
+    TrainLoader,
+    register_builtin_datasets,
+)
+from ..models import (
+    ModelSpec,
+    OpensetRCNNModule,
+    compute_anchors,
+    known_ids_id_map,
+    opendet_id_map,
+)
+from .checkpoint import Checkpointer
+from .events import EventWriter
+from .optimizer import build_optimizer
+from .train_state import TrainState, create_train_state, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def build_model_spec(cfg: CfgNode) -> ModelSpec:
+    num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    num_known = cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES
+    if cfg.OPENDET_BENCHMARK:
+        id_map = opendet_id_map(num_classes, num_known)
+    else:
+        from ..data.graspnet_meta import GRASPNET_KNOWN_IDS, graspnet_metadata
+
+        contig = graspnet_metadata()["thing_dataset_id_to_contiguous_id"]
+        known_contig = [contig[i] for i in GRASPNET_KNOWN_IDS]
+        id_map = known_ids_id_map(num_classes, known_contig)
+    return ModelSpec.from_cfg(cfg, id_map)
+
+
+def build_module_and_params(cfg: CfgNode, spec: ModelSpec):
+    module = OpensetRCNNModule(spec=spec)
+    bh, bw = cfg.TPU.TRAIN_BUCKET
+    params = jax.jit(
+        lambda: module.init(jax.random.PRNGKey(max(cfg.SEED, 0)), jnp.zeros((1, bh, bw, 3)))[
+            "params"
+        ]
+    )()
+    return module, params
+
+
+def load_train_records(cfg: CfgNode):
+    records = []
+    for name in cfg.DATASETS.TRAIN:
+        records.extend(DatasetCatalog.get(name))
+    return records
+
+
+def get_evaluator(cfg: CfgNode, dataset_name: str):
+    """Evaluator by dataset type (reference train.py:57-78)."""
+    meta = MetadataCatalog.get(dataset_name)
+    etype = meta.get("evaluator_type", "coco")
+    if etype == "pascal_voc":
+        from ..data.voc import load_voc_gt_for_eval
+        from ..evaluation.voc_eval import OpensetVocEvaluator
+
+        ev = OpensetVocEvaluator(
+            class_names=meta.thing_classes,
+            num_known_classes=cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES,
+            output_dir=cfg.OUTPUT_DIR,
+        )
+        for g in load_voc_gt_for_eval(meta.dirname, meta.split):
+            ev.add_ground_truth(g["image_id"], g["boxes"], g["class_names"], g["difficult"])
+        return ev
+    if etype == "voc_records":
+        # GT supplied directly by dataset records (synthetic / custom sets).
+        from ..evaluation.voc_eval import OpensetVocEvaluator
+
+        ev = OpensetVocEvaluator(
+            class_names=meta.thing_classes,
+            num_known_classes=cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES,
+            output_dir=cfg.OUTPUT_DIR,
+        )
+        for r in DatasetCatalog.get(dataset_name):
+            annos = r.get("annotations", [])
+            ev.add_ground_truth(
+                r["image_id"],
+                [a["bbox"] for a in annos],
+                [meta.thing_classes[a["category_id"]] for a in annos],
+                [bool(a.get("difficult", 0)) for a in annos],
+            )
+        return ev
+    if etype == "coco":
+        from ..evaluation.coco_eval import OpensetCocoEvaluator
+
+        return OpensetCocoEvaluator(
+            dataset_name,
+            known_ids=None,  # derived from cfg/meta inside
+            cfg=cfg,
+            output_dir=os.path.join(cfg.OUTPUT_DIR, "inference", dataset_name),
+        )
+    raise ValueError(f"no evaluator for type {etype}")
+
+
+def do_test(cfg: CfgNode, module, params, spec, datasets=None) -> Dict[str, Dict[str, float]]:
+    from ..evaluation.postprocess import PostprocessConfig
+    from ..evaluation.testing import CompiledInference, inference_on_dataset
+
+    class_id_table = None
+    if not cfg.OPENDET_BENCHMARK:
+        from ..data.graspnet_meta import GRASPNET_KNOWN_IDS, graspnet_metadata
+
+        contig = graspnet_metadata()["thing_dataset_id_to_contiguous_id"]
+        class_id_table = np.asarray(sorted(contig[i] for i in GRASPNET_KNOWN_IDS))
+
+    post_cfg = PostprocessConfig.from_cfg(cfg, cfg.OPENDET_BENCHMARK, class_id_table)
+    infer = CompiledInference(module, params, spec)
+    transform = DetectionTransform(
+        min_sizes=(cfg.INPUT.MIN_SIZE_TEST,),
+        max_size=cfg.INPUT.MAX_SIZE_TEST,
+        bucket_hw=tuple(cfg.TPU.TEST_BUCKET),
+        max_gt=cfg.TPU.MAX_GT_PER_IMAGE,
+        flip=False,
+        fmt=cfg.INPUT.FORMAT,
+    )
+
+    results = {}
+    for name in datasets or cfg.DATASETS.TEST:
+        records = DatasetCatalog.get(name)
+        loader = EvalLoader(records, transform, batch_size=1)
+        evaluator = get_evaluator(cfg, name)
+        logger.info("evaluating %s (%d images)", name, len(records))
+        results[name] = inference_on_dataset(infer, loader, evaluator, post_cfg)
+    return results
+
+
+def do_train(cfg: CfgNode, resume: bool = False):
+    register_builtin_datasets()
+    spec = build_model_spec(cfg)
+    module, params = build_module_and_params(cfg, spec)
+    tx, sched = build_optimizer(cfg, params)
+    state = create_train_state(params, tx)
+
+    checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+    state, resumed = checkpointer.resume_or_load(state, cfg.MODEL.WEIGHTS, resume)
+    start_iter = int(state.step)
+
+    records = load_train_records(cfg)
+    transform = DetectionTransform(
+        min_sizes=tuple(cfg.INPUT.MIN_SIZE_TRAIN),
+        max_size=cfg.INPUT.MAX_SIZE_TRAIN,
+        bucket_hw=tuple(cfg.TPU.TRAIN_BUCKET),
+        max_gt=cfg.TPU.MAX_GT_PER_IMAGE,
+        flip=cfg.INPUT.RANDOM_FLIP == "horizontal",
+        fmt=cfg.INPUT.FORMAT,
+    )
+    loader = TrainLoader(
+        records,
+        transform,
+        batch_size=cfg.SOLVER.IMS_PER_BATCH,
+        seed=max(cfg.SEED, 0),
+        filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
+    )
+
+    writer = EventWriter(cfg.OUTPUT_DIR)
+    rng_root = jax.random.PRNGKey(max(cfg.SEED, 0) + 1)
+
+    # per-bucket compiled steps
+    step_fns: Dict[tuple, callable] = {}
+
+    def get_step(bucket):
+        if bucket not in step_fns:
+            anchors, level_sizes = compute_anchors(spec, bucket)
+            step_fns[bucket] = jax.jit(
+                make_train_step(module, tx, spec, anchors, level_sizes, sched),
+                donate_argnums=0,
+            )
+            logger.info("compiled train step for bucket %s", bucket)
+        return step_fns[bucket]
+
+    max_iter = cfg.SOLVER.MAX_ITER
+    ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD
+    eval_period = cfg.TEST.EVAL_PERIOD
+    logger.info("starting training at iter %d (max %d)", start_iter, max_iter)
+
+    it = start_iter
+    for batch, meta in loader:
+        if it >= max_iter:
+            break
+        step_fn = get_step(meta.bucket_hw)
+        state, metrics = step_fn(state, batch, rng_root)
+        it = int(state.step)
+
+        if it % 20 == 0 or it == max_iter:
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            if not np.isfinite(host_metrics["total_loss"]):
+                raise FloatingPointError(f"non-finite loss at iter {it}: {host_metrics}")
+            writer.write(it, host_metrics)
+
+        if ckpt_period and it % ckpt_period == 0:
+            checkpointer.save(state, it)
+        if eval_period and it % eval_period == 0 and it != max_iter:
+            results = do_test(cfg, module, state.params, spec)
+            for ds, res in results.items():
+                writer.write(it, {f"{ds}/{k}": v for k, v in res.items() if np.isscalar(v)})
+
+    checkpointer.save(state, it)
+    writer.close()
+    return state

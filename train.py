@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Openset-RCNN TPU training/eval CLI.
+
+Interface-compatible with the reference entry point (train.py:229-281):
+
+  python train.py --config-file configs/VOC-COCO/openset_rcnn_R50_FPN_128k.yaml \
+      [--eval-only] [--resume] [--resume_test] [--test_iter N] \
+      [--opendet-benchmark] [--num-chips N] [KEY VALUE ...]
+
+Multi-chip execution replaces the reference's --num-gpus/NCCL launch
+(SURVEY.md §2.2): one process drives a ('data','model') jax.sharding.Mesh;
+--num-chips bounds the data axis (default: all visible chips).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+logger = logging.getLogger("openset_rcnn_tpu")
+
+
+def setup(args) -> "CfgNode":
+    from openset_rcnn_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opendet_benchmark:
+        cfg.OPENDET_BENCHMARK = True
+    cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s %(name)s]: %(message)s",
+        datefmt="%m/%d %H:%M:%S",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(cfg.OUTPUT_DIR, "log.txt")),
+        ],
+    )
+    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+    logger.info("Running with config:\n%s", cfg.dump())
+    return cfg
+
+
+def main(args):
+    cfg = setup(args)
+
+    from openset_rcnn_tpu.data import register_builtin_datasets
+    from openset_rcnn_tpu.engine.train_loop import (
+        build_model_spec,
+        build_module_and_params,
+        do_test,
+        do_train,
+    )
+
+    register_builtin_datasets()
+
+    if args.resume_test:
+        # Re-score persisted predictions without touching the model
+        # (reference train.py:188-199, os_coco_evaluation.py:177-184).
+        from openset_rcnn_tpu.engine.train_loop import get_evaluator
+
+        results = {}
+        for name in cfg.DATASETS.TEST:
+            evaluator = get_evaluator(cfg, name)
+            results[name] = evaluator.evaluate(resume=True)
+        print(results)
+        return results
+
+    if args.eval_only:
+        from openset_rcnn_tpu.engine.checkpoint import Checkpointer
+        from openset_rcnn_tpu.engine.optimizer import build_optimizer
+        from openset_rcnn_tpu.engine.train_state import create_train_state
+
+        spec = build_model_spec(cfg)
+        module, params = build_module_and_params(cfg, spec)
+        tx, _ = build_optimizer(cfg, params)
+        state = create_train_state(params, tx)
+        ckpt = Checkpointer(cfg.OUTPUT_DIR)
+        state, _ = ckpt.resume_or_load(state, cfg.MODEL.WEIGHTS, resume=args.resume)
+        results = do_test(cfg, module, state.params, spec)
+        print(results)
+        return results
+
+    return do_train(cfg, resume=args.resume)
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(description="Openset-RCNN TPU")
+    parser.add_argument("--config-file", default="", metavar="FILE")
+    parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--resume_test", action="store_true", help="re-score saved predictions")
+    parser.add_argument("--test_iter", type=int, default=-1, help="checkpoint iteration to test")
+    parser.add_argument(
+        "--eval_type",
+        default="openset",
+        choices=["openset", "cls_agn_unk", "Closeset"],
+        help="evaluation protocol variant",
+    )
+    parser.add_argument("--opendet-benchmark", action="store_true")
+    parser.add_argument("--num-chips", type=int, default=-1, help="data-parallel chips")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return parser
+
+
+if __name__ == "__main__":
+    main(get_parser().parse_args())
