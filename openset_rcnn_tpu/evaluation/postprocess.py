@@ -33,9 +33,18 @@ class FinalDetections:
 def numpy_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndarray:
     """Greedy NMS, strict '>' suppression (torchvision semantics).
 
-    Returns kept indices in descending-score order.
+    Returns kept indices in descending-score order. Dispatches to the C++
+    evalcore when built (native/evalcore.cpp).
     """
     order = np.argsort(-scores, kind="stable")
+    if len(order) > 8:
+        try:
+            from .evalcore_binding import nms_native
+
+            keep_mask = nms_native(boxes[order], thresh)
+            return order[keep_mask]
+        except Exception:
+            pass
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     areas = (x2 - x1) * (y2 - y1)
     keep = []
