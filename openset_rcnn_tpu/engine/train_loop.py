@@ -149,7 +149,16 @@ def do_test(cfg: CfgNode, module, params, spec, datasets=None) -> Dict[str, Dict
     return results
 
 
-def do_train(cfg: CfgNode, resume: bool = False):
+def do_train(cfg: CfgNode, resume: bool = False, profile_steps: int = 0, debug_nans: bool = False):
+    """Args:
+        profile_steps: if > 0, capture a jax.profiler trace of that many
+            steps (after warmup) into OUTPUT_DIR/profile (SURVEY.md §5.1 —
+            the reference has no profiler; this comes nearly free in JAX).
+        debug_nans: enable jax_debug_nans for pinpointing the op that
+            produced a NaN (SURVEY.md §5.2); ~2x slower, debug only.
+    """
+    if debug_nans:
+        jax.config.update("jax_debug_nans", True)
     register_builtin_datasets()
     spec = build_model_spec(cfg)
     module, params = build_module_and_params(cfg, spec)
@@ -199,13 +208,25 @@ def do_train(cfg: CfgNode, resume: bool = False):
     eval_period = cfg.TEST.EVAL_PERIOD
     logger.info("starting training at iter %d (max %d)", start_iter, max_iter)
 
+    profile_dir = os.path.join(cfg.OUTPUT_DIR, "profile")
+    profile_start = start_iter + 5 if profile_steps > 0 else -1
+    profiling = False
+
     it = start_iter
     for batch, meta in loader:
         if it >= max_iter:
             break
+        if it == profile_start and not profiling:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         step_fn = get_step(meta.bucket_hw)
         state, metrics = step_fn(state, batch, rng_root)
         it = int(state.step)
+        if profiling and it >= profile_start + profile_steps:
+            jax.block_until_ready(metrics["total_loss"])
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info("profiler trace written to %s", profile_dir)
 
         if it % 20 == 0 or it == max_iter:
             host_metrics = {k: float(v) for k, v in metrics.items()}

@@ -183,11 +183,11 @@ def box_iou_losses(
         gt_deltas = transform.get_deltas(rois.boxes, rois.gt_boxes)
         per = smooth_l1(pred_deltas, gt_deltas, box_smooth_l1_beta)
         box_loss = jnp.sum(jnp.where(fg[..., None], per, 0.0))
-    elif box_reg_loss_type == "iou":
-        from ..ops import iou_box_loss
+    elif box_reg_loss_type in ("iou", "giou", "diou", "ciou"):
+        from ..ops import dense_box_regression_loss
 
         pred_boxes = transform.apply_deltas(pred_deltas, rois.boxes)
-        box_loss = iou_box_loss(pred_boxes, rois.gt_boxes, fg)
+        box_loss = dense_box_regression_loss(pred_boxes, rois.gt_boxes, fg, box_reg_loss_type)
     else:
         raise ValueError(box_reg_loss_type)
 

@@ -140,11 +140,13 @@ def rpn_losses(
     pos = targets.reg_labels == 1
     obj_mask = targets.obj_labels != -1
 
-    if box_reg_loss_type == "iou":
-        pred_boxes = transform.apply_deltas(pred_deltas, anchors[None])
-        from ..ops import iou_box_loss  # local import avoids cycle at module load
+    if box_reg_loss_type in ("iou", "giou", "diou", "ciou"):
+        from ..ops import dense_box_regression_loss
 
-        loc_loss = iou_box_loss(pred_boxes, targets.matched_boxes, pos)
+        pred_boxes = transform.apply_deltas(pred_deltas, anchors[None])
+        loc_loss = dense_box_regression_loss(
+            pred_boxes, targets.matched_boxes, pos, box_reg_loss_type
+        )
     elif box_reg_loss_type == "smooth_l1":
         gt_deltas = transform.get_deltas(anchors[None], targets.matched_boxes)
         per = smooth_l1(pred_deltas, gt_deltas, 0.0)

@@ -13,6 +13,9 @@ from .anchors import cell_anchors, fpn_anchors, grid_anchors
 from .nms import NMSResult, batched_nms_mask, nms_mask, nms_select
 from .roi_align import assign_levels, multilevel_roi_align
 from .losses import (
+    ciou_box_loss,
+    dense_box_regression_loss,
+    diou_box_loss,
     giou_box_loss,
     iou_box_loss,
     masked_sum,

@@ -8,6 +8,7 @@ is provably equivalent to the reference's dynamically-filtered tensors
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .boxes import elementwise_iou
@@ -58,6 +59,63 @@ def giou_box_loss(pred_boxes, gt_boxes, fg_mask) -> jnp.ndarray:
     union = area_p + area_g - inter
     giou = iou - (enclose - union) / jnp.where(enclose > 0, enclose, 1.0)
     return masked_sum(1.0 - giou, fg_mask)
+
+
+def _center_dist2_and_diag2(pred_boxes, gt_boxes):
+    px = 0.5 * (pred_boxes[..., 0] + pred_boxes[..., 2])
+    py = 0.5 * (pred_boxes[..., 1] + pred_boxes[..., 3])
+    gx = 0.5 * (gt_boxes[..., 0] + gt_boxes[..., 2])
+    gy = 0.5 * (gt_boxes[..., 1] + gt_boxes[..., 3])
+    d2 = (px - gx) ** 2 + (py - gy) ** 2
+    lt = jnp.minimum(pred_boxes[..., :2], gt_boxes[..., :2])
+    rb = jnp.maximum(pred_boxes[..., 2:], gt_boxes[..., 2:])
+    wh = jnp.clip(rb - lt, 0)
+    c2 = wh[..., 0] ** 2 + wh[..., 1] ** 2
+    return d2, c2
+
+
+def diou_box_loss(pred_boxes, gt_boxes, fg_mask) -> jnp.ndarray:
+    """Masked sum Distance-IoU loss (reference diou branch,
+    box_regression_w_iou.py:70)."""
+    iou = elementwise_iou(pred_boxes, gt_boxes)
+    d2, c2 = _center_dist2_and_diag2(pred_boxes, gt_boxes)
+    diou = iou - d2 / jnp.where(c2 > 0, c2, 1.0)
+    return masked_sum(1.0 - diou, fg_mask)
+
+
+def ciou_box_loss(pred_boxes, gt_boxes, fg_mask) -> jnp.ndarray:
+    """Masked sum Complete-IoU loss (reference ciou branch,
+    box_regression_w_iou.py:77): DIoU + aspect-ratio consistency term."""
+    iou = elementwise_iou(pred_boxes, gt_boxes)
+    d2, c2 = _center_dist2_and_diag2(pred_boxes, gt_boxes)
+    pw = jnp.clip(pred_boxes[..., 2] - pred_boxes[..., 0], 1e-9)
+    ph = jnp.clip(pred_boxes[..., 3] - pred_boxes[..., 1], 1e-9)
+    gw = jnp.clip(gt_boxes[..., 2] - gt_boxes[..., 0], 1e-9)
+    gh = jnp.clip(gt_boxes[..., 3] - gt_boxes[..., 1], 1e-9)
+    v = (4.0 / (jnp.pi ** 2)) * (jnp.arctan(gw / gh) - jnp.arctan(pw / ph)) ** 2
+    alpha = jax.lax.stop_gradient(v / jnp.where(1.0 - iou + v > 0, 1.0 - iou + v, 1.0))
+    ciou = iou - d2 / jnp.where(c2 > 0, c2, 1.0) - alpha * v
+    return masked_sum(1.0 - ciou, fg_mask)
+
+
+def dense_box_regression_loss(
+    pred_boxes,
+    gt_boxes,
+    fg_mask,
+    loss_type: str = "iou",
+):
+    """Dispatch over the reference's IoU-family loss types
+    (box_regression_w_iou.py:41-85; smooth_l1 is handled by callers that
+    work in delta space)."""
+    if loss_type == "iou":
+        return iou_box_loss(pred_boxes, gt_boxes, fg_mask)
+    if loss_type == "giou":
+        return giou_box_loss(pred_boxes, gt_boxes, fg_mask)
+    if loss_type == "diou":
+        return diou_box_loss(pred_boxes, gt_boxes, fg_mask)
+    if loss_type == "ciou":
+        return ciou_box_loss(pred_boxes, gt_boxes, fg_mask)
+    raise ValueError(f"Invalid dense box regression loss type '{loss_type}'")
 
 
 def softmax_cross_entropy(

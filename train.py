@@ -88,7 +88,7 @@ def main(args):
         print(results)
         return results
 
-    return do_train(cfg, resume=args.resume)
+    return do_train(cfg, resume=args.resume, profile_steps=args.profile_steps, debug_nans=args.debug_nans)
 
 
 def get_parser():
@@ -106,6 +106,8 @@ def get_parser():
     )
     parser.add_argument("--opendet-benchmark", action="store_true")
     parser.add_argument("--num-chips", type=int, default=-1, help="data-parallel chips")
+    parser.add_argument("--profile-steps", type=int, default=0, help="trace N train steps to OUTPUT_DIR/profile")
+    parser.add_argument("--debug-nans", action="store_true", help="enable jax_debug_nans")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return parser
 
