@@ -1,0 +1,64 @@
+"""Fused on-device cascade vs the host-side reference cascade."""
+import jax.numpy as jnp
+import numpy as np
+
+from openset_rcnn_tpu.evaluation.postprocess import PostprocessConfig, postprocess_image
+from openset_rcnn_tpu.models.serving import fused_cascade
+from openset_rcnn_tpu.structures import RawDetections
+
+
+def make_raw(rng, B=2, P=64, K=3):
+    xy = rng.uniform(0, 300, (B, P, 2))
+    wh = rng.uniform(20, 120, (B, P, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    obj = rng.uniform(0, 1, (B, P)).astype(np.float32)
+    md = rng.uniform(0, 1, (B, P)).astype(np.float32)
+    logits = rng.randn(B, P, K + 1).astype(np.float32) * 2
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    valid = rng.rand(B, P) > 0.1
+    return RawDetections(
+        boxes=jnp.asarray(boxes),
+        objectness=jnp.asarray(obj),
+        pred_iou=jnp.asarray(obj),
+        centerness=jnp.asarray(obj),
+        min_dist=jnp.asarray(md),
+        pln_class=jnp.zeros((B, P), jnp.int32),
+        known_probs=jnp.asarray(probs),
+        valid=jnp.asarray(valid),
+    )
+
+
+def as_set(boxes, scores, classes):
+    return {
+        (round(float(b[0]), 2), round(float(b[1]), 2), int(c), round(float(s), 4))
+        for b, s, c in zip(boxes, scores, classes)
+    }
+
+
+def test_fused_matches_host_cascade(rng):
+    raw = make_raw(rng)
+    cfg = PostprocessConfig(
+        obj_score_thresh=0.05, unk_thr=0.5, known_score_thresh=0.05,
+        known_nms_thresh=0.5, known_topk=50, unknown_score_thresh=0.0,
+        unknown_nms_thresh=0.5, unknown_topk=50, unknown_id=80,
+        detections_per_image=1000,
+    )
+    fused = fused_cascade(
+        raw, obj_thresh=0.05, unk_thr=0.5, known_score_thresh=0.05,
+        known_nms_thresh=0.5, known_topk=50, unknown_score_thresh=0.0,
+        unknown_nms_thresh=0.5, unknown_topk=50, unknown_id=80,
+        stage1_topk=64, max_known_candidates=192,
+    )
+    B = raw.boxes.shape[0]
+    for i in range(B):
+        host = postprocess_image(
+            np.asarray(raw.boxes[i]), np.asarray(raw.objectness[i]),
+            np.asarray(raw.min_dist[i]), np.asarray(raw.pln_class[i]),
+            np.asarray(raw.known_probs[i]), np.asarray(raw.valid[i]),
+            (400, 400), (400, 400), cfg,
+        )
+        v = np.asarray(fused.valid[i])
+        got = as_set(np.asarray(fused.boxes[i])[v], np.asarray(fused.scores[i])[v],
+                     np.asarray(fused.classes[i])[v])
+        want = as_set(host.boxes, host.scores, host.classes)
+        assert got == want, f"image {i}: fused != host\nonly-fused: {got - want}\nonly-host: {want - got}"
