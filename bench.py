@@ -22,8 +22,11 @@ A100_BASELINE_IMG_S = 20.0
 # Benchmark shape: the reference's train distribution resizes the short side
 # to 640..800 with max 1333 (configs/Base-RCNN-FPN.yaml:43); we bench the
 # padded bucket 832x1344 — the worst-case static shape.
+import os
+
 H, W = 832, 1344
-BATCH = 4
+BATCH = int(os.environ.get("BENCH_BATCH", 4))
+DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 WARMUP = 3
 ITERS = 10
 
@@ -49,6 +52,7 @@ def main():
     cfg.MODEL.ROI_BOX_HEAD.CLS_LOSS_WEIGHT = 0.9
     cfg.MODEL.PLN.LOSS_WEIGHT = 0.5
     cfg.OPENDET_BENCHMARK = True
+    cfg.TPU.DTYPE = DTYPE
 
     spec = ModelSpec.from_cfg(cfg, opendet_id_map(81, 20))
     module = OpensetRCNNModule(spec=spec)

@@ -186,6 +186,7 @@ def get_default_cfg() -> CN:
     _C.TPU.ROI_SAMPLING_RATIO = 2          # RoIAlign samples/bin axis (static)
     _C.TPU.MAX_DETECTIONS_DEVICE = 100     # fused on-device inference cap
     _C.TPU.DTYPE = "float32"               # compute dtype for conv trunk
+    _C.TPU.REMAT = False                   # rematerialize backbone blocks
     _C.TPU.MESH_DATA = -1                  # data-parallel axis size (-1: all devices)
     _C.TPU.MESH_MODEL = 1                  # model-parallel axis size
 

@@ -95,6 +95,7 @@ class ModelSpec(NamedTuple):
     # misc
     freeze_at: int
     compute_dtype: str
+    remat: bool
 
     @staticmethod
     def from_cfg(cfg, id_map: Sequence[int]) -> "ModelSpec":
@@ -143,6 +144,7 @@ class ModelSpec(NamedTuple):
             id_map=tuple(int(i) for i in id_map),
             freeze_at=m.BACKBONE.FREEZE_AT,
             compute_dtype=cfg.TPU.DTYPE,
+            remat=cfg.TPU.get("REMAT", False),
         )
 
 
@@ -175,7 +177,7 @@ class OpensetRCNNModule(nn.Module):
     def setup(self):
         dtype = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else jnp.float32
         num_anchors = len(self.spec.anchor_aspect_ratios) * len(self.spec.anchor_sizes[0])
-        self.backbone = ResNet(depth=50, compute_dtype=dtype)
+        self.backbone = ResNet(depth=50, compute_dtype=dtype, remat=self.spec.remat)
         self.fpn = FPN(out_channels=256, compute_dtype=dtype)
         self.rpn_head = ClsFreeRPNHead(conv_dim=256, num_anchors=num_anchors)
         self.box_head = BoxHead(fc_dim=self.spec.fc_dim)

@@ -96,6 +96,7 @@ class ResNet(nn.Module):
     stride_in_1x1: bool = True
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     compute_dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize blocks: ~30% more FLOPs, ~2x batch
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -106,6 +107,7 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        block_cls = nn.remat(BottleneckBlock) if self.remat else BottleneckBlock
         outputs: Dict[str, jnp.ndarray] = {}
         blocks = STAGE_BLOCKS[self.depth]
         out_ch = self.res2_out_channels
@@ -114,7 +116,7 @@ class ResNet(nn.Module):
             stage_name = f"res{stage_idx + 2}"
             for b in range(num_blocks):
                 stride = 2 if (b == 0 and stage_idx > 0) else 1
-                x = BottleneckBlock(
+                x = block_cls(
                     out_channels=out_ch,
                     bottleneck_channels=bott_ch,
                     stride=stride,
