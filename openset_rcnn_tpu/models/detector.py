@@ -26,6 +26,7 @@ from ..ops.anchors import fpn_anchors
 from ..structures import GroundTruth, ImageBatch, Proposals, RawDetections
 from .fpn import FPN
 from .resnet import ResNet
+from .vit import ViTSimpleFPN
 from .roi_heads import (
     BoxHead,
     BoxIouPredictor,
@@ -96,6 +97,7 @@ class ModelSpec(NamedTuple):
     freeze_at: int
     compute_dtype: str
     remat: bool
+    backbone_name: str
 
     @staticmethod
     def from_cfg(cfg, id_map: Sequence[int]) -> "ModelSpec":
@@ -145,6 +147,7 @@ class ModelSpec(NamedTuple):
             freeze_at=m.BACKBONE.FREEZE_AT,
             compute_dtype=cfg.TPU.DTYPE,
             remat=cfg.TPU.get("REMAT", False),
+            backbone_name=m.BACKBONE.NAME,
         )
 
 
@@ -177,8 +180,13 @@ class OpensetRCNNModule(nn.Module):
     def setup(self):
         dtype = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else jnp.float32
         num_anchors = len(self.spec.anchor_aspect_ratios) * len(self.spec.anchor_sizes[0])
-        self.backbone = ResNet(depth=50, compute_dtype=dtype, remat=self.spec.remat)
-        self.fpn = FPN(out_channels=256, compute_dtype=dtype)
+        if self.spec.backbone_name == "build_vit_fpn_backbone":
+            # ViTDet-style trunk emits the pyramid directly (models/vit.py)
+            self.backbone = ViTSimpleFPN(compute_dtype=dtype)
+            self.fpn = None
+        else:
+            self.backbone = ResNet(depth=50, compute_dtype=dtype, remat=self.spec.remat)
+            self.fpn = FPN(out_channels=256, compute_dtype=dtype)
         self.rpn_head = ClsFreeRPNHead(conv_dim=256, num_anchors=num_anchors)
         self.box_head = BoxHead(fc_dim=self.spec.fc_dim)
         self.box_predictor = BoxIouPredictor()
@@ -197,6 +205,8 @@ class OpensetRCNNModule(nn.Module):
 
     def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         x = self.preprocess(images)
+        if self.fpn is None:
+            return self.backbone(x)
         return self.fpn(self.backbone(x))
 
     def rpn_predictions(self, fpn_feats, in_features=("p2", "p3", "p4", "p5", "p6")):

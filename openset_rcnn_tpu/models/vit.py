@@ -1,0 +1,153 @@
+"""ViT-B backbone with a simple feature pyramid (ViTDet-style).
+
+The BASELINE stretch config asks for a Swin/ViT-B backbone swap under the
+same CF-RPN + PLN heads (BASELINE.json configs[4]). This implements the
+ViTDet recipe (plain ViT + simple feature pyramid, He et al. 2022),
+TPU-first:
+
+  * 16x16 patch embedding, learnable 2-D position embeddings sized to the
+    max train grid and sliced per bucket (static shapes, no interpolation
+    under jit);
+  * 14x14 windowed attention in all but a few global blocks (the
+    window partition is a static reshape — no dynamic shapes);
+  * a simple feature pyramid from the single stride-16 map: stride-2
+    deconvs up to P2/P3, identity P4, stride-2 maxpool P5, and the RPN's
+    extra P6 — each with 1x1 + 3x3 conv projections to 256 channels,
+    so the detector's FPN-consumer code is unchanged.
+
+Exposes the same interface as ResNet+FPN: __call__(images) -> {p2..p6}.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_GLOBAL_EVERY = 3  # every 3rd block uses global attention (ViTDet-B: 4 of 12)
+
+
+def _window_partition(x: jnp.ndarray, w: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """(B, H, W, C) -> (B*nh*nw, w, w, C), padding H/W up to multiples of w."""
+    B, H, W, C = x.shape
+    ph = (w - H % w) % w
+    pw = (w - W % w) % w
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    Hp, Wp = H + ph, W + pw
+    x = x.reshape(B, Hp // w, w, Wp // w, w, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w, w, C), (Hp, Wp)
+
+
+def _window_unpartition(x: jnp.ndarray, w: int, hw_pad, hw) -> jnp.ndarray:
+    Hp, Wp = hw_pad
+    H, W = hw
+    B = x.shape[0] // ((Hp // w) * (Wp // w))
+    x = x.reshape(B, Hp // w, Wp // w, w, w, -1).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):  # (N, L, C)
+        N, L, C = x.shape
+        qkv = nn.Dense(3 * self.dim, use_bias=True, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(N, L, 3, self.num_heads, -1), 3, axis=2)
+        q, k, v = (t.squeeze(2) for t in (q, k, v))  # (N, L, h, d)
+        d = q.shape[-1]
+        attn = jnp.einsum("nlhd,nmhd->nhlm", q, k) / jnp.sqrt(d).astype(x.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("nhlm,nmhd->nlhd", attn, v).reshape(N, L, C)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int  # 0 = global attention
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        B, H, W, C = x.shape
+        shortcut = x
+        y = nn.LayerNorm(name="norm1")(x)
+        if self.window_size > 0:
+            y, hw_pad = _window_partition(y, self.window_size)
+            n, wh, ww, _ = y.shape
+            y = Attention(self.dim, self.num_heads, name="attn")(y.reshape(n, wh * ww, C))
+            y = _window_unpartition(y.reshape(n, wh, ww, C), self.window_size, hw_pad, (H, W))
+        else:
+            y = Attention(self.dim, self.num_heads, name="attn")(y.reshape(B, H * W, C))
+            y = y.reshape(B, H, W, C)
+        x = shortcut + y
+        z = nn.LayerNorm(name="norm2")(x)
+        z = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(z)
+        z = nn.gelu(z)
+        z = nn.Dense(self.dim, name="mlp_fc2")(z)
+        return x + z
+
+
+class ViTSimpleFPN(nn.Module):
+    """ViT-B trunk + simple feature pyramid -> {p2..p6} @ 256 channels."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    window_size: int = 14
+    out_channels: int = 256
+    max_grid: Tuple[int, int] = (84, 84)  # pos-embed table size (1344/16)
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        x = images.astype(self.compute_dtype)
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            name="patch_embed",
+        )(x)
+        B, H, W, C = x.shape
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (self.max_grid[0], self.max_grid[1], self.embed_dim),
+        )
+        x = x + pos[:H, :W].astype(x.dtype)
+
+        for i in range(self.depth):
+            is_global = (i + 1) % _GLOBAL_EVERY == 0
+            x = Block(
+                self.embed_dim,
+                self.num_heads,
+                window_size=0 if is_global else self.window_size,
+                name=f"block{i}",
+            )(x)
+        x = nn.LayerNorm(name="norm")(x)
+
+        # simple feature pyramid from the stride-16 map
+        def project(y, name):
+            y = nn.Conv(self.out_channels, (1, 1), use_bias=False, name=f"{name}_conv1")(y)
+            y = nn.LayerNorm(name=f"{name}_ln1")(y)
+            y = nn.Conv(
+                self.out_channels, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                name=f"{name}_conv2",
+            )(y)
+            return nn.LayerNorm(name=f"{name}_ln2")(y)
+
+        up2 = nn.ConvTranspose(self.embed_dim // 2, (2, 2), strides=(2, 2), name="up2a")(x)
+        up2 = nn.gelu(up2)
+        up4 = nn.ConvTranspose(self.embed_dim // 4, (2, 2), strides=(2, 2), name="up2b")(up2)
+        p2 = project(up4, "p2")                      # stride 4
+        p3 = project(up2, "p3")                      # stride 8
+        p4 = project(x, "p4")                        # stride 16
+        p5 = project(x[:, ::2, ::2], "p5")           # stride 32
+        p6 = p5[:, ::2, ::2]                         # stride 64
+        return {"p2": p2, "p3": p3, "p4": p4, "p5": p5, "p6": p6}
