@@ -71,7 +71,7 @@ def load_train_records(cfg: CfgNode):
     return records
 
 
-def get_evaluator(cfg: CfgNode, dataset_name: str):
+def get_evaluator(cfg: CfgNode, dataset_name: str, eval_type: str = "openset"):
     """Evaluator by dataset type (reference train.py:57-78)."""
     meta = MetadataCatalog.get(dataset_name)
     etype = meta.get("evaluator_type", "coco")
@@ -113,11 +113,12 @@ def get_evaluator(cfg: CfgNode, dataset_name: str):
             known_ids=None,  # derived from cfg/meta inside
             cfg=cfg,
             output_dir=os.path.join(cfg.OUTPUT_DIR, "inference", dataset_name),
+            eval_type=eval_type,
         )
     raise ValueError(f"no evaluator for type {etype}")
 
 
-def do_test(cfg: CfgNode, module, params, spec, datasets=None) -> Dict[str, Dict[str, float]]:
+def do_test(cfg: CfgNode, module, params, spec, datasets=None, eval_type: str = "openset") -> Dict[str, Dict[str, float]]:
     from ..evaluation.postprocess import PostprocessConfig
     from ..evaluation.testing import CompiledInference, inference_on_dataset
 
@@ -143,7 +144,7 @@ def do_test(cfg: CfgNode, module, params, spec, datasets=None) -> Dict[str, Dict
     for name in datasets or cfg.DATASETS.TEST:
         records = DatasetCatalog.get(name)
         loader = EvalLoader(records, transform, batch_size=1)
-        evaluator = get_evaluator(cfg, name)
+        evaluator = get_evaluator(cfg, name, eval_type)
         logger.info("evaluating %s (%d images)", name, len(records))
         results[name] = inference_on_dataset(infer, loader, evaluator, post_cfg)
     return results

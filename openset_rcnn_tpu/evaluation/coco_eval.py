@@ -47,6 +47,7 @@ class OpensetCocoEvaluator:
         output_dir: Optional[str] = None,
         max_dets: Sequence[int] = (10, 20, 30, 50, 100),
         unknown_id: int = 1000,
+        eval_type: str = "openset",
     ):
         self.dataset_name = dataset_name
         meta = MetadataCatalog.get(dataset_name)
@@ -54,6 +55,11 @@ class OpensetCocoEvaluator:
         self.output_dir = output_dir
         self.max_dets = tuple(max_dets)
         self.unknown_id = unknown_id
+        # "openset" is the benchmark protocol; "cls_agn_unk" reports the
+        # recall-focused subset (the reference's other --eval_type values,
+        # train.py:254-260; its "Closeset" scoring path is vestigial —
+        # os_coco_evaluation.py:603 asserts eval_type == "openset").
+        self.eval_type = eval_type
 
         if known_ids is None:
             from ..data.graspnet_meta import GRASPNET_KNOWN_IDS
@@ -128,6 +134,16 @@ class OpensetCocoEvaluator:
         )
         acc = ev.run()
         stats = ev.summarize(acc)
+
+        if self.eval_type == "cls_agn_unk":
+            # Recall-centric view (reference _derive_coco_results
+            # cls_agn_unk branch): AR@{10..100} + AP of the known classes.
+            names = ["AR@10", "AR@20", "AR@30", "AR@50", "AR@100", "AP"]
+            vals = list(stats[6:11]) + [stats[0]]
+            return {
+                n: round(float(v) * 100, 4) if v != -1 else float("nan")
+                for n, v in zip(names, vals)
+            }
 
         results: Dict[str, float] = {}
         for name, value in zip(KNOWN_METRIC_NAMES, stats[:16]):

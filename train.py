@@ -68,7 +68,7 @@ def main(args):
 
         results = {}
         for name in cfg.DATASETS.TEST:
-            evaluator = get_evaluator(cfg, name)
+            evaluator = get_evaluator(cfg, name, args.eval_type)
             results[name] = evaluator.evaluate(resume=True)
         print(results)
         return results
@@ -84,7 +84,7 @@ def main(args):
         state = create_train_state(params, tx)
         ckpt = Checkpointer(cfg.OUTPUT_DIR)
         state, _ = ckpt.resume_or_load(state, cfg.MODEL.WEIGHTS, resume=args.resume)
-        results = do_test(cfg, module, state.params, spec)
+        results = do_test(cfg, module, state.params, spec, eval_type=args.eval_type)
         print(results)
         return results
 
