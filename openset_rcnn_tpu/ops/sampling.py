@@ -18,7 +18,8 @@ import jax.numpy as jnp
 def _rank_within(mask: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Random rank of each element among mask==True elements (0-based).
 
-    Elements with mask==False get rank >= num_true.
+    Elements with mask==False get rank >= num_true. Used where the full
+    permutation is genuinely needed (ROI gather sampling).
     """
     n = mask.shape[0]
     r = jax.random.uniform(key, (n,))
@@ -27,6 +28,25 @@ def _rank_within(mask: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     order = jnp.argsort(sort_key)
     ranks = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     return ranks
+
+
+def _random_subset_mask(
+    mask: jnp.ndarray, quota: jnp.ndarray, cap: int, key: jax.Array
+) -> jnp.ndarray:
+    """Mask of a uniform random subset of min(quota, cap, #mask) members.
+
+    TPU-friendly: a k=cap ``top_k`` over random keys replaces a full argsort
+    over N (the anchor sets are ~100k; cap is 256) — ranking members by iid
+    uniforms and keeping the first `quota` IS a uniform random subset.
+    """
+    n = mask.shape[0]
+    r = jax.random.uniform(key, (n,))
+    vals = jnp.where(mask, r, -1.0)
+    _, top_idx = jax.lax.top_k(vals, cap)
+    slot_ok = jnp.arange(cap) < quota
+    out = jnp.zeros((n,), bool).at[top_idx].set(slot_ok, mode="drop")
+    # entries selected by padding top_k slots (vals == -1) must stay False
+    return out & mask
 
 
 def subsample_labels(
