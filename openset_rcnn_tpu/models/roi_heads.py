@@ -283,15 +283,19 @@ def pool_features(
     strides: Sequence[int] = (4, 8, 16, 32),
     resolution: int = 7,
     sampling_ratio: int = 2,
+    pool_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    feats = [fpn_feats[f].astype(jnp.float32) for f in in_features]
+    # The RoIAlign gather/scatter pair is HBM-bandwidth bound and dominates
+    # the device step time; pooling in bf16 halves its traffic. The pooled
+    # features are promoted back to f32 before the FC head.
+    feats = [fpn_feats[f].astype(pool_dtype) for f in in_features]
     fn = jax.vmap(
         lambda per_img_feats, b: multilevel_roi_align(
             per_img_feats, b, strides, out_size=resolution, sampling_ratio=sampling_ratio
         ),
         in_axes=(0, 0),
     )
-    return fn(feats, boxes)  # (B, S, 7, 7, C)
+    return fn(feats, boxes).astype(jnp.float32)  # (B, S, 7, 7, C)
 
 
 # --------------------------------------------------------------------------

@@ -72,8 +72,8 @@ def subsample_labels(
     num_pos = jnp.minimum(pos.sum(), num_pos_target)
     num_neg = jnp.minimum(neg.sum(), num_samples - num_pos)
 
-    pos_keep = pos & (_rank_within(pos, kp) < num_pos)
-    neg_keep = neg & (_rank_within(neg, kn) < num_neg)
+    pos_keep = _random_subset_mask(pos, num_pos, num_samples, kp)
+    neg_keep = _random_subset_mask(neg, num_neg, num_samples, kn)
 
     out = jnp.full_like(labels, -1)
     out = jnp.where(pos_keep, 1, out)
