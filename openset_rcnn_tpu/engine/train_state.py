@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models import OpensetRCNNModule, training_losses
+from ..models import OpensetRCNNModule, training_losses_and_stats
 from ..structures import ImageBatch
 
 
@@ -41,20 +41,23 @@ def make_train_step(
     anchors = jnp.asarray(anchors)
 
     def loss_fn(params, batch, rng):
-        losses = training_losses(module, params, batch, rng, spec, anchors, level_sizes)
+        losses, stats = training_losses_and_stats(
+            module, params, batch, rng, spec, anchors, level_sizes
+        )
         total = sum(losses.values())
-        return total, losses
+        return total, (losses, stats)
 
     def train_step(state: TrainState, batch: ImageBatch, rng: jax.Array):
         # Per-step RNG: fold in the step so resume is deterministic
         # (replaces the reference's global torch RNG stream).
         step_rng = jax.random.fold_in(rng, state.step)
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (total, (losses, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, step_rng
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
+        metrics.update(stats)
         metrics["total_loss"] = total
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)

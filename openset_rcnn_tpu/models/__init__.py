@@ -21,4 +21,5 @@ from .detector import (
     known_ids_id_map,
     opendet_id_map,
     training_losses,
+    training_losses_and_stats,
 )

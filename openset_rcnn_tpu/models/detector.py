@@ -254,6 +254,26 @@ def training_losses(
     level_sizes: Sequence[int],
 ) -> Dict[str, jnp.ndarray]:
     """All six reference losses for one batch (SURVEY.md §3.1)."""
+    losses, _ = training_losses_and_stats(
+        module, params, batch, rng, spec, anchors, level_sizes
+    )
+    return losses
+
+
+def training_losses_and_stats(
+    module: OpensetRCNNModule,
+    params,
+    batch: ImageBatch,
+    rng: jax.Array,
+    spec: ModelSpec,
+    anchors: jnp.ndarray,
+    level_sizes: Sequence[int],
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Losses plus the reference's EventStorage training scalars
+    (SURVEY.md §5.5): RPN pos/neg anchor counts
+    (classification_free_rpn.py:459-463), proposal counts (:549-554), ROI
+    fg/bg sample counts (osrcnn_roi_heads.py:225-228), and classifier
+    accuracy stats (softmax_classifier.py:18-45)."""
     rpn_key, roi_key = jax.random.split(rng)
     linear_tf = Box2BoxTransformLinear(normalize_by_size=True)
     roi_tf = Box2BoxTransform(spec.bbox_reg_weights)
@@ -327,7 +347,31 @@ def training_losses(
         spec.pln_loss_weight, spec.distance_type,
     )
     losses["loss_cls"] = classifier_loss(logits, rois, id_map, spec.cls_loss_weight)
-    return losses
+
+    # --- training scalars (device-side; fetched with the loss dict) ---
+    B = batch.images.shape[0]
+    stats = {
+        "rpn/num_pos_anchors": jnp.sum(targets.reg_labels == 1) / B,
+        "rpn/num_neg_anchors": jnp.sum(targets.reg_labels == 0) / B,
+        "rpn/obj_num_pos_anchors": jnp.sum(targets.obj_labels == 1) / B,
+        "rpn/obj_num_neg_anchors": jnp.sum(targets.obj_labels == 0) / B,
+        "rpn/num_proposals": jnp.sum(proposals.valid) / B,
+        "roi_head/num_fg_samples": jnp.sum(rois.is_fg) / B,
+        "roi_head/num_bg_samples": jnp.sum(rois.valid & ~rois.is_fg) / B,
+    }
+    # classifier accuracy over sampled ROIs (softmax_classifier.py:18-45)
+    labels = id_map[rois.gt_classes]
+    pred = jnp.argmax(logits, axis=-1)
+    valid = rois.valid & (labels >= 0)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    fg = valid & (labels < spec.num_known_classes)
+    n_fg = jnp.maximum(jnp.sum(fg), 1)
+    stats["softmax_classifier/cls_accuracy"] = jnp.sum((pred == labels) & valid) / n_valid
+    stats["softmax_classifier/fg_cls_accuracy"] = jnp.sum((pred == labels) & fg) / n_fg
+    stats["softmax_classifier/false_negative"] = (
+        jnp.sum((pred == spec.num_known_classes) & fg) / n_fg
+    )
+    return losses, stats
 
 
 def inference_forward(
