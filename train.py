@@ -83,7 +83,13 @@ def main(args):
         tx, _ = build_optimizer(cfg, params)
         state = create_train_state(params, tx)
         ckpt = Checkpointer(cfg.OUTPUT_DIR)
-        state, _ = ckpt.resume_or_load(state, cfg.MODEL.WEIGHTS, resume=args.resume)
+        if args.test_iter > 0:
+            # evaluate a specific checkpoint iteration (reference
+            # train.py:242-252)
+            path = os.path.join(cfg.OUTPUT_DIR, f"model_{args.test_iter:07d}")
+            state = ckpt.restore(state, path)
+        else:
+            state, _ = ckpt.resume_or_load(state, cfg.MODEL.WEIGHTS, resume=args.resume)
         results = do_test(cfg, module, state.params, spec, eval_type=args.eval_type)
         print(results)
         return results
