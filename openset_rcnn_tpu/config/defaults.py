@@ -79,6 +79,8 @@ def get_default_cfg() -> CN:
     _C.MODEL.RPN.IOU_THRESHOLDS_OBJECTNESS = [0.1, 0.3]
     _C.MODEL.RPN.POSITIVE_FRACTION_OBJECTNESS = 1.0
     _C.MODEL.RPN.NMS_THRESH_TEST = 1.0
+    # TPU extra: >0 removes the IoU-loss zero-area saddle for from-scratch runs
+    _C.MODEL.RPN.DELTA_BIAS_INIT = 0.0
 
     _C.MODEL.ROI_HEADS = CN()
     _C.MODEL.ROI_HEADS.NAME = "OpensetROIHeads"

@@ -98,6 +98,7 @@ class ModelSpec(NamedTuple):
     compute_dtype: str
     remat: bool
     backbone_name: str
+    rpn_delta_bias_init: float
 
     @staticmethod
     def from_cfg(cfg, id_map: Sequence[int]) -> "ModelSpec":
@@ -148,6 +149,7 @@ class ModelSpec(NamedTuple):
             compute_dtype=cfg.TPU.DTYPE,
             remat=cfg.TPU.get("REMAT", False),
             backbone_name=m.BACKBONE.NAME,
+            rpn_delta_bias_init=m.RPN.get("DELTA_BIAS_INIT", 0.0),
         )
 
 
@@ -187,7 +189,10 @@ class OpensetRCNNModule(nn.Module):
         else:
             self.backbone = ResNet(depth=50, compute_dtype=dtype, remat=self.spec.remat)
             self.fpn = FPN(out_channels=256, compute_dtype=dtype)
-        self.rpn_head = ClsFreeRPNHead(conv_dim=256, num_anchors=num_anchors)
+        self.rpn_head = ClsFreeRPNHead(
+            conv_dim=256, num_anchors=num_anchors,
+            delta_bias_init=self.spec.rpn_delta_bias_init,
+        )
         self.box_head = BoxHead(fc_dim=self.spec.fc_dim)
         self.box_predictor = BoxIouPredictor()
         self.pln = PLNHead(

@@ -42,17 +42,30 @@ from ..structures import GroundTruth, Proposals
 
 
 class ClsFreeRPNHead(nn.Module):
-    """Per-level head, weights shared across FPN levels."""
+    """Per-level head, weights shared across FPN levels.
+
+    ``delta_bias_init`` > 0 starts decoded boxes at a positive size, which
+    removes the IoU loss's zero-area gradient saddle when training from
+    scratch (the reference inits bias 0 and escapes it over its 128k-iter
+    ImageNet-warm-started schedule; keep 0.0 for parity).
+    """
 
     conv_dim: int = 256
     num_anchors: int = 1
     box_dim: int = 4
+    delta_bias_init: float = 0.0
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
         init = nn.initializers.normal(0.01)
         conv = nn.Conv(self.conv_dim, (3, 3), padding=((1, 1), (1, 1)), kernel_init=init, name="conv")
-        delta_conv = nn.Conv(self.num_anchors * self.box_dim, (1, 1), kernel_init=init, name="anchor_deltas")
+        delta_conv = nn.Conv(
+            self.num_anchors * self.box_dim,
+            (1, 1),
+            kernel_init=init,
+            bias_init=nn.initializers.constant(self.delta_bias_init),
+            name="anchor_deltas",
+        )
         ctr_conv = nn.Conv(self.num_anchors, (1, 1), kernel_init=init, name="centerness")
 
         deltas, ctrs = [], []
