@@ -51,6 +51,11 @@ def setup(args) -> "CfgNode":
 def main(args):
     cfg = setup(args)
 
+    if args.num_machines > 1 or args.dist_url:
+        from openset_rcnn_tpu.parallel import initialize_distributed
+
+        initialize_distributed(args.dist_url or None)
+
     from openset_rcnn_tpu.data import register_builtin_datasets
     from openset_rcnn_tpu.engine.train_loop import (
         build_model_spec,
@@ -112,6 +117,11 @@ def get_parser():
     )
     parser.add_argument("--opendet-benchmark", action="store_true")
     parser.add_argument("--num-chips", type=int, default=-1, help="data-parallel chips")
+    # interface parity with the reference launcher (train.py:264-270);
+    # multi-host JAX runs use --dist-url as the coordinator address
+    parser.add_argument("--num-machines", type=int, default=1)
+    parser.add_argument("--machine-rank", type=int, default=0)
+    parser.add_argument("--dist-url", default="")
     parser.add_argument("--profile-steps", type=int, default=0, help="trace N train steps to OUTPUT_DIR/profile")
     parser.add_argument("--debug-nans", action="store_true", help="enable jax_debug_nans")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
