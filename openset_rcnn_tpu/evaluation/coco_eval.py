@@ -152,6 +152,14 @@ class OpensetCocoEvaluator:
         for name, value in zip(UNKNOWN_METRIC_NAMES, stats[16:]):
             results[name] = round(float(value) * 100, 4) if value != -1 else float("nan")
 
+        # PR-curve dumps for offline analysis (os_coco_evaluation.py:428-431)
+        if self.output_dir:
+            os.makedirs(self.output_dir, exist_ok=True)
+            np.save(os.path.join(self.output_dir, "known_precision_bbox.npy"), acc["precision"])
+            np.save(os.path.join(self.output_dir, "known_recall_bbox.npy"), acc["recall"])
+            np.save(os.path.join(self.output_dir, "unknown_precision_bbox.npy"), acc["u_precision"])
+            np.save(os.path.join(self.output_dir, "unknown_recall_bbox.npy"), acc["u_recall"])
+
         # per-category AP50:95 (os_coco_evaluation.py:393-411)
         classes = self.meta.get("thing_classes")
         contig = self.meta.get("thing_dataset_id_to_contiguous_id", {})
