@@ -109,6 +109,16 @@ class OpensetCocoEvaluator:
 
     # ----------------------------------------------------------------- eval
     def evaluate(self, resume: bool = False) -> Dict[str, float]:
+        # multi-process eval: merge per-process predictions (reference
+        # comm.gather, os_coco_evaluation.py:163-169)
+        from ..parallel import gather_object, num_processes
+
+        if not resume and num_processes() > 1:
+            merged = []
+            for part in gather_object(self._predictions):
+                merged.extend(part)
+            self._predictions = merged
+
         if resume:
             self.load_predictions()
         elif self.output_dir:

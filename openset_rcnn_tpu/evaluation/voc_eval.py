@@ -178,6 +178,17 @@ class OpensetVocEvaluator:
         )
 
     def evaluate(self) -> Dict[str, float]:
+        # multi-process eval: merge per-process detections (reference
+        # comm.gather, pascal_voc_evaluation.py:106)
+        from ..parallel import gather_object, num_processes
+
+        if num_processes() > 1:
+            merged = defaultdict(list)
+            for part in gather_object(dict(self._dets)):
+                for cid, dets in part.items():
+                    merged[cid].extend(dets)
+            self._dets = merged
+
         if self.output_dir:
             det_dir = os.path.join(self.output_dir, "pascal_voc_eval")
             os.makedirs(det_dir, exist_ok=True)
