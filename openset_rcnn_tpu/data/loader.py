@@ -144,3 +144,28 @@ class EvalLoader:
                 group = []
         if group:
             yield collate(group)
+
+
+def device_prefetch(iterator, depth: int = 2):
+    """Stage upcoming batches onto the device from a background thread.
+
+    Replaces d2's GPU-side prefetching worker semantics: while the current
+    step runs, the next batch's host->device transfer is already in flight,
+    so the device never waits on PCIe/host.
+    """
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        for batch, meta in iterator:
+            q.put((jax.device_put(batch), meta))
+        q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -213,8 +213,10 @@ def do_train(cfg: CfgNode, resume: bool = False, profile_steps: int = 0, debug_n
     profile_start = start_iter + 5 if profile_steps > 0 else -1
     profiling = False
 
+    from ..data.loader import device_prefetch
+
     it = start_iter
-    for batch, meta in loader:
+    for batch, meta in device_prefetch(iter(loader)):
         if it >= max_iter:
             break
         if it == profile_start and not profiling:
