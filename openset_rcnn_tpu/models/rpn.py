@@ -88,29 +88,41 @@ class RPNTargets(NamedTuple):
     gt_centerness: jnp.ndarray # (B, R)
 
 
-def _targets_one_image(
-    anchors: jnp.ndarray,
-    gt_boxes: jnp.ndarray,
-    gt_valid: jnp.ndarray,
-    key: jax.Array,
-    batch_size_per_image: int,
-    positive_fraction: float,
-    objectness_positive_fraction: float,
-    reg_thresholds: Sequence[float],
-    obj_thresholds: Sequence[float],
-) -> Tuple[jnp.ndarray, ...]:
-    k_reg, k_obj = jax.random.split(key)
+def _bin_labels(max_iou: jnp.ndarray, rescued: jnp.ndarray, thresholds) -> jnp.ndarray:
+    """3-bin matcher labels {0, -1, 1} from fused matcher outputs (same
+    semantics as ops.matcher.match with labels [0, -1, 1] and low-quality
+    rescue; empty-GT images fall out naturally because max_iou is -1)."""
+    out = jnp.zeros(max_iou.shape, jnp.int32)
+    out = jnp.where(max_iou >= thresholds[0], jnp.int32(-1), out)
+    out = jnp.where(max_iou >= thresholds[1], jnp.int32(1), out)
+    return jnp.where(rescued, jnp.int32(1), out)
+
+
+def _match_one_image(anchors, gt_boxes, gt_valid):
+    """XLA fallback of the fused kernel: (max_iou, matched_idx, rescued)."""
     iou = pairwise_iou(gt_boxes, anchors)  # (G, R)
+    masked = jnp.where(gt_valid[:, None], iou, -1.0)
+    max_iou = jnp.max(masked, axis=0)
+    matched_idx = jnp.argmax(masked, axis=0).astype(jnp.int32)
+    best_per_gt = jnp.max(masked, axis=1, keepdims=True)
+    tie = (masked == best_per_gt) & (best_per_gt > 0) & gt_valid[:, None]
+    return max_iou, matched_idx, jnp.any(tie, axis=0)
 
-    reg = match(iou, gt_valid, reg_thresholds, [0, -1, 1], allow_low_quality_matches=True)
-    obj = match(iou, gt_valid, obj_thresholds, [0, -1, 1], allow_low_quality_matches=True)
 
-    reg_labels = subsample_labels(reg.labels, batch_size_per_image, positive_fraction, k_reg)
-    obj_labels = subsample_labels(obj.labels, batch_size_per_image, objectness_positive_fraction, k_obj)
+def _sample_one_image(
+    anchors, gt_boxes, max_iou, matched_idx, rescued, key,
+    batch_size_per_image, positive_fraction, objectness_positive_fraction,
+    reg_thresholds, obj_thresholds,
+):
+    k_reg, k_obj = jax.random.split(key)
+    reg_raw = _bin_labels(max_iou, rescued, reg_thresholds)
+    obj_raw = _bin_labels(max_iou, rescued, obj_thresholds)
 
-    matched_boxes = gt_boxes[reg.matched_idx]          # (R, 4)
-    obj_matched_boxes = gt_boxes[obj.matched_idx]      # (R, 4)
-    gt_ctr = centerness_targets(anchors, obj_matched_boxes, obj_labels)
+    reg_labels = subsample_labels(reg_raw, batch_size_per_image, positive_fraction, k_reg)
+    obj_labels = subsample_labels(obj_raw, batch_size_per_image, objectness_positive_fraction, k_obj)
+
+    matched_boxes = gt_boxes[matched_idx]  # (R, 4); shared by both matchers
+    gt_ctr = centerness_targets(anchors, matched_boxes, obj_labels)
     return reg_labels, matched_boxes, obj_labels, gt_ctr
 
 
@@ -123,17 +135,34 @@ def rpn_targets(
     objectness_positive_fraction: float = 1.0,
     reg_thresholds: Sequence[float] = (0.3, 0.7),
     obj_thresholds: Sequence[float] = (0.1, 0.3),
+    use_pallas: bool | None = None,
 ) -> RPNTargets:
+    """Anchor target assignment. The (G x R) IoU matrix + dual matchers run
+    through the fused Pallas kernel on TPU (ops/pallas/iou_match_kernel.py:
+    never materializes the ~37 MB/image matrix); XLA fallback elsewhere."""
     B = gt.boxes.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.pallas.iou_match_kernel import iou_match_pallas
+
+        max_iou, matched_idx, rescued = iou_match_pallas(anchors, gt.boxes, gt.valid)
+    else:
+        max_iou, matched_idx, rescued = jax.vmap(
+            lambda b, v: _match_one_image(anchors, b, v)
+        )(gt.boxes, gt.valid)
+
     keys = jax.random.split(key, B)
     fn = jax.vmap(
-        lambda b, v, k: _targets_one_image(
-            anchors, b, v, k,
+        lambda b, mi, idx, rc, k: _sample_one_image(
+            anchors, b, mi, idx, rc, k,
             batch_size_per_image, positive_fraction, objectness_positive_fraction,
             reg_thresholds, obj_thresholds,
         )
     )
-    reg_labels, matched_boxes, obj_labels, gt_ctr = fn(gt.boxes, gt.valid, keys)
+    reg_labels, matched_boxes, obj_labels, gt_ctr = fn(
+        gt.boxes, max_iou, matched_idx, rescued, keys
+    )
     return RPNTargets(reg_labels, matched_boxes, obj_labels, gt_ctr)
 
 
