@@ -142,7 +142,9 @@ def rpn_targets(
     never materializes the ~37 MB/image matrix); XLA fallback elsewhere."""
     B = gt.boxes.shape[0]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # auto: single-chip TPU only (partitioning a pallas_call across a
+        # sharded batch is not validated; multi-chip runs use the XLA path)
+        use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
     if use_pallas:
         from ..ops.pallas.iou_match_kernel import iou_match_pallas
 

@@ -54,7 +54,8 @@ def nms_mask(
     v = valid[order]
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # auto: single-chip TPU only (see models/rpn.py note)
+        use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
     if use_pallas:
         from .pallas.nms_kernel import nms_keep_pallas
 
