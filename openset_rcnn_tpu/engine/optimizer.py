@@ -61,6 +61,7 @@ def warmup_multistep_schedule(
     gamma: float,
     warmup_iters: int,
     warmup_factor: float,
+    warmup_method: str = "linear",
 ) -> Callable:
     steps = tuple(int(s) for s in steps)
 
@@ -68,11 +69,11 @@ def warmup_multistep_schedule(
         import jax.numpy as jnp
 
         it = count.astype(jnp.float32) if hasattr(count, "astype") else jnp.asarray(count, jnp.float32)
-        warm = jnp.where(
-            it < warmup_iters,
-            warmup_factor + (1.0 - warmup_factor) * it / max(warmup_iters, 1),
-            1.0,
-        )
+        if warmup_method == "constant":
+            ramp = jnp.asarray(warmup_factor, jnp.float32)
+        else:  # linear (d2 default)
+            ramp = warmup_factor + (1.0 - warmup_factor) * it / max(warmup_iters, 1)
+        warm = jnp.where(it < warmup_iters, ramp, 1.0)
         decay = 1.0
         for s in steps:
             decay = decay * jnp.where(it >= s, gamma, 1.0)
@@ -88,6 +89,7 @@ def build_optimizer(cfg, params) -> tuple[optax.GradientTransformation, Callable
         cfg.SOLVER.GAMMA,
         cfg.SOLVER.WARMUP_ITERS,
         cfg.SOLVER.WARMUP_FACTOR,
+        cfg.SOLVER.WARMUP_METHOD,
     )
     mask = trainable_mask(params, cfg.MODEL.BACKBONE.FREEZE_AT)
     inner = optax.chain(

@@ -99,6 +99,7 @@ class ModelSpec(NamedTuple):
     remat: bool
     backbone_name: str
     rpn_delta_bias_init: float
+    resnet_depth: int
 
     @staticmethod
     def from_cfg(cfg, id_map: Sequence[int]) -> "ModelSpec":
@@ -150,6 +151,7 @@ class ModelSpec(NamedTuple):
             remat=cfg.TPU.get("REMAT", False),
             backbone_name=m.BACKBONE.NAME,
             rpn_delta_bias_init=m.RPN.get("DELTA_BIAS_INIT", 0.0),
+            resnet_depth=m.RESNETS.DEPTH,
         )
 
 
@@ -187,7 +189,9 @@ class OpensetRCNNModule(nn.Module):
             self.backbone = ViTSimpleFPN(compute_dtype=dtype)
             self.fpn = None
         else:
-            self.backbone = ResNet(depth=50, compute_dtype=dtype, remat=self.spec.remat)
+            self.backbone = ResNet(
+                depth=self.spec.resnet_depth, compute_dtype=dtype, remat=self.spec.remat
+            )
             self.fpn = FPN(out_channels=256, compute_dtype=dtype)
         self.rpn_head = ClsFreeRPNHead(
             conv_dim=256, num_anchors=num_anchors,

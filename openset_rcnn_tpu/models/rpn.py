@@ -32,7 +32,6 @@ from ..ops import (
     Box2BoxTransformLinear,
     centerness_targets,
     clip_boxes,
-    match,
     nonempty,
     pairwise_iou,
     smooth_l1,

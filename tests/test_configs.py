@@ -1,0 +1,64 @@
+"""Benchmark configs parse, inherit, and build valid ModelSpecs."""
+import os
+
+from openset_rcnn_tpu.config import get_default_cfg
+from openset_rcnn_tpu.engine.train_loop import build_model_spec
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def load(path):
+    cfg = get_default_cfg()
+    cfg.merge_from_file(os.path.join(ROOT, path))
+    return cfg
+
+
+def test_voc_coco_config():
+    cfg = load("configs/VOC-COCO/openset_rcnn_R50_FPN_128k.yaml")
+    assert cfg.OPENDET_BENCHMARK is True
+    assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 81
+    assert cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES == 20
+    assert cfg.MODEL.RPN.BBOX_REG_LOSS_TYPE == "iou"
+    assert cfg.MODEL.RPN.NMS_THRESH_TEST == 1.0
+    assert cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS == [[1.0]]
+    # _BASE_ inheritance pulled through
+    assert cfg.MODEL.ANCHOR_GENERATOR.SIZES == [[32], [64], [128], [256], [512]]
+    assert cfg.SOLVER.MAX_ITER == 128000
+    assert cfg.SOLVER.STEPS == (84000, 116000)
+    assert cfg.MODEL.PLN.UNK_THR == 0.23
+    spec = build_model_spec(cfg)
+    assert spec.num_known_classes == 20
+    # OpenDet id map: identity for knowns, bg -> 20
+    assert spec.id_map[:3] == (0, 1, 2)
+    assert spec.id_map[81] == 20
+    assert spec.id_map[40] == -1
+
+
+def test_graspnet_config():
+    cfg = load("configs/GraspNet/openset_rcnn_R50_FPN_128k.yaml")
+    assert cfg.OPENDET_BENCHMARK is False
+    assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 88
+    assert cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES == 28
+    assert cfg.MODEL.PLN.UNK_THR == 0.09
+    assert cfg.MODEL.RPN.BBOX_REG_LOSS_WEIGHT == 10.0
+    spec = build_model_spec(cfg)
+    # 28 known contiguous ids map to 0..27, bg(88) -> 28
+    mapped = [v for v in spec.id_map[:-1] if v >= 0]
+    assert sorted(mapped) == list(range(28))
+    assert spec.id_map[88] == 28
+
+
+def test_cli_override_grammar():
+    cfg = load("configs/VOC-COCO/openset_rcnn_R50_FPN_128k.yaml")
+    cfg.merge_from_list(["SOLVER.BASE_LR", "0.02", "MODEL.PLN.UNK_THR", "0.5", "TPU.DTYPE", "bfloat16"])
+    assert cfg.SOLVER.BASE_LR == 0.02
+    assert cfg.MODEL.PLN.UNK_THR == 0.5
+    assert cfg.TPU.DTYPE == "bfloat16"
+
+
+def test_vit_config():
+    cfg = load("configs/VOC-COCO/openset_rcnn_ViT_FPN_128k.yaml")
+    assert cfg.MODEL.BACKBONE.NAME == "build_vit_fpn_backbone"
+    assert cfg.SOLVER.CLIP_GRADIENTS.ENABLED is True
+    spec = build_model_spec(cfg)
+    assert spec.backbone_name == "build_vit_fpn_backbone"
