@@ -130,6 +130,45 @@ def _gt_arrays(gts, a_lo, a_hi):
     return boxes[order], crowd[order], ignore[order].astype(int), order
 
 
+def _precompute_group(dts, gts):
+    """Area-independent products for one (dt-list, gt-list): arrays + the
+    IoU matrix in ORIGINAL gt order (reused across all 4 area ranges)."""
+    d_boxes = np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
+    scores = np.asarray([d["score"] for d in dts])
+    g_boxes = np.asarray([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
+    g_crowd = np.asarray([int(g.get("iscrowd", 0)) for g in gts])
+    g_area = np.asarray([g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts])
+    ious = bbox_iou_xywh(d_boxes, g_boxes, g_crowd) if len(gts) and len(dts) else None
+    d_area = d_boxes[:, 2] * d_boxes[:, 3]
+    return dict(scores=scores, d_area=d_area, g_crowd=g_crowd, g_area=g_area, ious=ious, n_gt=len(gts))
+
+
+def _match_group_pre(pre, a_lo, a_hi, iou_thrs):
+    """Per-area matching over precomputed group products."""
+    D = len(pre["scores"])
+    T = len(iou_thrs)
+    g_crowd_o = pre["g_crowd"]
+    g_area = pre["g_area"]
+    ignore_o = (g_crowd_o > 0) | (g_area < a_lo) | (g_area > a_hi)
+    order = np.argsort(ignore_o, kind="mergesort")
+    g_ig = ignore_o[order].astype(int)
+    g_crowd = g_crowd_o[order]
+    scores = pre["scores"]
+    d_area = pre["d_area"]
+
+    if pre["n_gt"] == 0 or D == 0:
+        matched = np.zeros((T, D), bool)
+        m_ig = np.zeros((T, D), bool)
+    else:
+        ious = pre["ious"][:, order]
+        matched, m_ig = greedy_match(ious, g_ig, g_crowd, iou_thrs)
+
+    out_of_area = (d_area < a_lo) | (d_area > a_hi)
+    dt_ignore = m_ig | (~matched & out_of_area[None, :])
+    n_gt = int(np.sum(g_ig == 0))
+    return _ImgEval(scores=scores, matched=matched, ignore=dt_ignore, n_gt=n_gt)
+
+
 def _match_group(dts, gts, a_lo, a_hi, iou_thrs, ious_presorted=None):
     """Full per-image matching for one (dt-list, gt-list, area range)."""
     D = len(dts)
@@ -224,18 +263,29 @@ class OpenSetCocoEval:
                     continue
                 per_img[img] = (dts, gts_k, gts_ok, gts_u)
 
+            pre_list = []
+            for img in self.image_ids:
+                grp = per_img[img]
+                if grp is None:
+                    continue
+                dts, gts_k, gts_ok, gts_u = grp
+                pre_list.append(
+                    (
+                        _precompute_group(dts, gts_k),
+                        _precompute_group(dts, gts_ok),
+                        _precompute_group(dts, gts_u),
+                    )
+                )
             for ai, albl in enumerate(AREA_LBLS):
                 a_lo, a_hi = AREA_RNGS[albl]
-                evs = []
-                for img in self.image_ids:
-                    grp = per_img[img]
-                    if grp is None:
-                        continue
-                    dts, gts_k, gts_ok, gts_u = grp
-                    ev_k = _match_group(dts, gts_k, a_lo, a_hi, self.iou_thrs)
-                    ev_ok = _match_group(dts, gts_ok, a_lo, a_hi, self.iou_thrs)
-                    ev_u = _match_group(dts, gts_u, a_lo, a_hi, self.iou_thrs)
-                    evs.append((ev_k, ev_ok, ev_u))
+                evs = [
+                    (
+                        _match_group_pre(pk, a_lo, a_hi, self.iou_thrs),
+                        _match_group_pre(pok, a_lo, a_hi, self.iou_thrs),
+                        _match_group_pre(pu, a_lo, a_hi, self.iou_thrs),
+                    )
+                    for pk, pok, pu in pre_list
+                ]
                 if not evs:
                     continue
                 for mi, md in enumerate(self.max_dets):
@@ -313,17 +363,22 @@ class OpenSetCocoEval:
                 continue
             per_img_u[img] = (dts, gts_u, all_k_gts_per_img.get(img, []))
 
+        pre_u_list = []
+        for img in self.image_ids:
+            grp = per_img_u[img]
+            if grp is None:
+                continue
+            dts, gts_u, gts_k = grp
+            pre_u_list.append((_precompute_group(dts, gts_u), _precompute_group(dts, gts_k)))
         for ai, albl in enumerate(AREA_LBLS):
             a_lo, a_hi = AREA_RNGS[albl]
-            evs = []
-            for img in self.image_ids:
-                grp = per_img_u[img]
-                if grp is None:
-                    continue
-                dts, gts_u, gts_k = grp
-                ev_u = _match_group(dts, gts_u, a_lo, a_hi, self.iou_thrs)
-                ev_k = _match_group(dts, gts_k, a_lo, a_hi, self.iou_thrs)
-                evs.append((ev_u, ev_k))
+            evs = [
+                (
+                    _match_group_pre(pu, a_lo, a_hi, self.iou_thrs),
+                    _match_group_pre(pk, a_lo, a_hi, self.iou_thrs),
+                )
+                for pu, pk in pre_u_list
+            ]
             if not evs:
                 continue
             for mi, md in enumerate(self.max_dets):
