@@ -50,6 +50,10 @@ class DetectionTransform:
         self.min_sizes = tuple(min_sizes)
         self.max_size = max_size
         self.bucket_hw = tuple(bucket_hw)
+        # GeneralizedRCNN pads to backbone size-divisibility (SURVEY.md §2.4)
+        assert bucket_hw[0] % 32 == 0 and bucket_hw[1] % 32 == 0, (
+            f"bucket {bucket_hw} must be divisible by 32"
+        )
         self.max_gt = max_gt
         self.flip = flip
         self.fmt = fmt

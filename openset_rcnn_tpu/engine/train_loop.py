@@ -160,6 +160,15 @@ def do_train(cfg: CfgNode, resume: bool = False, profile_steps: int = 0, debug_n
     """
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if cfg.SEED < 0:
+        # d2 semantics: negative seed -> fresh random seed per run
+        import os as _os, time as _time
+
+        seed = (int(_time.time() * 1000) ^ _os.getpid()) % (2**31)
+        cfg = cfg.clone()
+        cfg.SEED = seed
+        cfg.freeze()
+        logger.info("using random seed %d", seed)
     register_builtin_datasets()
     spec = build_model_spec(cfg)
     module, params = build_module_and_params(cfg, spec)

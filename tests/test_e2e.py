@@ -16,6 +16,7 @@ CLASSES = ["c0", "c1", "c2", "unknown"]
 
 def make_cfg(tmp_path):
     cfg = get_default_cfg()
+    cfg.SEED = 0  # deterministic smoke run (SEED<0 now draws a random seed)
     cfg.OUTPUT_DIR = str(tmp_path / "output")
     cfg.OPENDET_BENCHMARK = True
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
