@@ -186,6 +186,7 @@ def get_default_cfg() -> CN:
     _C.TPU.TEST_BUCKET = (832, 1344)       # test pad bucket (H, W)
     _C.TPU.SIZE_DIVISIBILITY = 32
     _C.TPU.ROI_SAMPLING_RATIO = 2          # RoIAlign samples/bin axis (static)
+    _C.TPU.ROI_ALIGN_IMPL = "auto"         # auto|gather|pallas (auto: pallas on 1-chip TPU)
     _C.TPU.MAX_DETECTIONS_DEVICE = 100     # fused on-device inference cap
     _C.TPU.DTYPE = "float32"               # compute dtype for conv trunk
     _C.TPU.REMAT = False                   # rematerialize backbone blocks

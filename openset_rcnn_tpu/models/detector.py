@@ -100,6 +100,7 @@ class ModelSpec(NamedTuple):
     backbone_name: str
     rpn_delta_bias_init: float
     resnet_depth: int
+    roi_align_impl: str
 
     @staticmethod
     def from_cfg(cfg, id_map: Sequence[int]) -> "ModelSpec":
@@ -152,6 +153,7 @@ class ModelSpec(NamedTuple):
             backbone_name=m.BACKBONE.NAME,
             rpn_delta_bias_init=m.RPN.get("DELTA_BIAS_INIT", 0.0),
             resnet_depth=m.RESNETS.DEPTH,
+            roi_align_impl=cfg.TPU.get("ROI_ALIGN_IMPL", "auto"),
         )
 
 
@@ -225,11 +227,19 @@ class OpensetRCNNModule(nn.Module):
         return jnp.concatenate(deltas, 1), jnp.concatenate(ctrs, 1), level_sizes
 
     def roi_forward(self, fpn_feats, boxes):
+        impl = self.spec.roi_align_impl
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if jax.default_backend() == "tpu" and jax.device_count() == 1
+                else "gather"
+            )
         pooled = pool_features(
             fpn_feats,
             boxes,
             resolution=self.spec.pooler_resolution,
             sampling_ratio=self.spec.roi_sampling_ratio,
+            impl=impl,
         )
         feats = self.box_head(pooled)                      # (B, S, fc_dim)
         deltas, iou = self.box_predictor(feats)            # (B, S, 4), (B, S)

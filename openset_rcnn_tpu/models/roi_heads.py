@@ -31,6 +31,7 @@ from ..ops import (
     clip_boxes,
     match,
     multilevel_roi_align,
+    multilevel_roi_align_batched,
     pairwise_iou,
     sample_balanced_indices,
     smooth_l1,
@@ -284,18 +285,20 @@ def pool_features(
     resolution: int = 7,
     sampling_ratio: int = 2,
     pool_dtype=jnp.bfloat16,
+    impl: str = "gather",
 ) -> jnp.ndarray:
     # The RoIAlign gather/scatter pair is HBM-bandwidth bound and dominates
-    # the device step time; pooling in bf16 halves its traffic. The pooled
-    # features are promoted back to f32 before the FC head.
-    feats = [fpn_feats[f].astype(pool_dtype) for f in in_features]
-    fn = jax.vmap(
-        lambda per_img_feats, b: multilevel_roi_align(
-            per_img_feats, b, strides, out_size=resolution, sampling_ratio=sampling_ratio
-        ),
-        in_axes=(0, 0),
+    # the device step time. impl="pallas" routes the forward through the
+    # window-DMA kernel (~5x); the gather path pools in bf16 to halve its
+    # traffic. Pooled features are promoted back to f32 before the FC head.
+    if impl == "pallas":
+        feats = [fpn_feats[f].astype(jnp.float32) for f in in_features]
+    else:
+        feats = [fpn_feats[f].astype(pool_dtype) for f in in_features]
+    out = multilevel_roi_align_batched(
+        feats, boxes, strides, out_size=resolution, sampling_ratio=sampling_ratio, impl=impl
     )
-    return fn(feats, boxes).astype(jnp.float32)  # (B, S, 7, 7, C)
+    return out.astype(jnp.float32)  # (B, S, 7, 7, C)
 
 
 # --------------------------------------------------------------------------

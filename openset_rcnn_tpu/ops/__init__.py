@@ -11,7 +11,7 @@ from .sampling import SampledIndices, sample_balanced_indices, subsample_labels
 from .targets import centerness_targets
 from .anchors import cell_anchors, fpn_anchors, grid_anchors
 from .nms import NMSResult, batched_nms_mask, nms_mask, nms_select
-from .roi_align import assign_levels, multilevel_roi_align
+from .roi_align import assign_levels, multilevel_roi_align, multilevel_roi_align_batched
 from .losses import (
     ciou_box_loss,
     dense_box_regression_loss,

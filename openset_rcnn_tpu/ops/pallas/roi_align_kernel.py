@@ -196,7 +196,10 @@ def roi_align_pallas_fwd(
     pad_hw = []
     for f in feats:
         Hp = max(f.shape[1], WIN_Y)
-        Wp = max(f.shape[2], WIN_X)
+        # Wp must be 8-aligned: base_x is aligned DOWN to the sublane tile,
+        # so the clip bound (Wp - WIN_X) must itself be a multiple of 8 or
+        # right-edge RoIs need window columns past WIN_X.
+        Wp = (max(f.shape[2], WIN_X) + 7) // 8 * 8
         fp = jnp.pad(
             f,
             ((0, 0), (0, Hp - f.shape[1]), (0, Wp - f.shape[2]), (0, 0)),

@@ -292,3 +292,62 @@ def multilevel_roi_align_window(
     val = jnp.einsum("rqw,rpwc->rpqc", Wx.astype(dtype), tmp)      # (R, PS, PS, C)
     val = val.reshape(R, P, S, P, S, C).mean(axis=(2, 4))
     return val.astype(feats[0].dtype)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid Pallas forward / XLA-scatter backward (batched API)
+# ---------------------------------------------------------------------------
+
+def multilevel_roi_align_batched(
+    feats,
+    boxes,
+    strides: Sequence[int],
+    out_size: int = 7,
+    sampling_ratio: int = 2,
+    impl: str = "gather",
+):
+    """Batched RoIAlign: feats per-level (B, H, W, C); boxes (B, R, 4).
+
+    impl='pallas' runs the fori-loop Pallas kernel forward
+    (ops/pallas/roi_align_v2.py — ~5x the XLA gather on v5e) with a custom
+    VJP whose backward is the gather formulation's scatter-add (the unused
+    forward gathers inside the VJP are DCE'd by XLA). Boxes receive zero
+    gradient (proposals are stop-gradient upstream, SURVEY.md §3.1).
+    NOTE: the pallas path pools aspect-ratio>~3.6 boxes one FPN level
+    coarser (window fit); use 'gather' for exact reference parity.
+    """
+    feats = tuple(feats)
+    if impl == "gather":
+        return jax.vmap(
+            lambda fl, bb: _multilevel_roi_align_gather(
+                list(fl), bb, strides, out_size, sampling_ratio
+            )
+        )(feats, boxes)
+
+    from .pallas.roi_align_v2 import roi_align_pallas_v2
+
+    strides_t = tuple(strides)
+
+    @jax.custom_vjp
+    def _hybrid(fs, bx):
+        return roi_align_pallas_v2(list(fs), bx, strides_t, out_size, sampling_ratio)
+
+    def _fwd(fs, bx):
+        return _hybrid(fs, bx), (fs, bx)
+
+    def _bwd(res, g):
+        fs, bx = res
+        # f32 for the scatter accumulation regardless of pooling dtype
+        _, vjp = jax.vjp(
+            lambda f: jax.vmap(
+                lambda fl, bb: _multilevel_roi_align_gather(
+                    list(fl), bb, strides_t, out_size, sampling_ratio
+                )
+            )(f, bx),
+            fs,
+        )
+        (dfs,) = vjp(g)
+        return dfs, jnp.zeros_like(bx)
+
+    _hybrid.defvjp(_fwd, _bwd)
+    return _hybrid(feats, boxes)
