@@ -291,10 +291,7 @@ def pool_features(
     # the device step time. impl="pallas" routes the forward through the
     # window-DMA kernel (~5x); the gather path pools in bf16 to halve its
     # traffic. Pooled features are promoted back to f32 before the FC head.
-    if impl == "pallas":
-        feats = [fpn_feats[f].astype(jnp.float32) for f in in_features]
-    else:
-        feats = [fpn_feats[f].astype(pool_dtype) for f in in_features]
+    feats = [fpn_feats[f].astype(pool_dtype) for f in in_features]
     out = multilevel_roi_align_batched(
         feats, boxes, strides, out_size=resolution, sampling_ratio=sampling_ratio, impl=impl
     )

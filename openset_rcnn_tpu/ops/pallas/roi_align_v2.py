@@ -56,9 +56,10 @@ def _kernel(
             dma.wait()
 
     # step 1: t1[x, 0, p*C:(p+1)*C] = w0y_p win[y0_p, x, :] + w1y_p win[y1_p, x, :]
+    # (window may be bf16 to halve DMA traffic; interpolation math is f32)
     def yloop(p, _):
-        r0 = win_ref[y0_ref[base + p], :, :]
-        r1 = win_ref[y1_ref[base + p], :, :]
+        r0 = win_ref[y0_ref[base + p], :, :].astype(jnp.float32)
+        r1 = win_ref[y1_ref[base + p], :, :].astype(jnp.float32)
         row = r0 * w0y_ref[base + p] + r1 * w1y_ref[base + p]  # (WIN_X, C)
         off = pl.multiple_of(p * C, 128)
         t1_ref[:, 0, pl.ds(off, C)] = row
@@ -127,16 +128,16 @@ def roi_align_pallas_v2(
         out = pl.pallas_call(
             functools.partial(_kernel, P=P, S=S, C=C),
             interpret=interpret,
-            out_shape=jax.ShapeDtypeStruct((n, P, P, C), feats[0].dtype),
+            out_shape=jax.ShapeDtypeStruct((n, P, P, C), jnp.float32),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=11,
                 grid=(n,),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
                 out_specs=pl.BlockSpec((1, P, P, C), lambda r, *_: (r, 0, 0, 0)),
                 scratch_shapes=[
-                    pltpu.VMEM((WIN_Y, WIN_X, C), feats[0].dtype),
-                    pltpu.VMEM((WIN_X, 1, PS * C), feats[0].dtype),
-                    pltpu.VMEM((PS, 1, PS * C), feats[0].dtype),
+                    pltpu.VMEM((WIN_Y, WIN_X, C), feats[0].dtype),  # DMA dtype
+                    pltpu.VMEM((WIN_X, 1, PS * C), jnp.float32),
+                    pltpu.VMEM((PS, 1, PS * C), jnp.float32),
                     pltpu.SemaphoreType.DMA,
                 ],
             ),
