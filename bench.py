@@ -25,7 +25,9 @@ A100_BASELINE_IMG_S = 20.0
 import os
 
 H, W = 832, 1344
-BATCH = int(os.environ.get("BENCH_BATCH", 4))
+# batch 8 fits since the Pallas RoIAlign forward removed the gather
+# residuals; it is the stable high-throughput point on 16 GB HBM.
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 WARMUP = 3
 ITERS = 10
