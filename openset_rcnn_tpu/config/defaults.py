@@ -185,12 +185,17 @@ def get_default_cfg() -> CN:
     _C.TPU.TRAIN_BUCKET = (832, 1344)      # train pad bucket (H, W), /32 divisible
     _C.TPU.TEST_BUCKET = (832, 1344)       # test pad bucket (H, W)
     _C.TPU.SIZE_DIVISIBILITY = 32
-    _C.TPU.ROI_SAMPLING_RATIO = 2          # RoIAlign samples/bin axis (static)
+    _C.TPU.ROI_SAMPLING_RATIO = 2          # RoIAlign samples/bin axis (static);
+                                           #  -1: d2 adaptive ceil(roi/7) (parity)
     _C.TPU.ROI_ALIGN_IMPL = "auto"         # auto|gather|pallas (auto: pallas on 1-chip TPU)
     _C.TPU.MAX_DETECTIONS_DEVICE = 100     # fused on-device inference cap
+    _C.TPU.EVAL_BATCH_SIZE = 8             # eval images per device dispatch
+    _C.TPU.EVAL_FUSED = True               # fuse the 3-stage cascade on-device
+                                           #  (False: exact host cascade oracle)
     _C.TPU.DTYPE = "float32"               # compute dtype for conv trunk
     _C.TPU.REMAT = False                   # rematerialize backbone blocks
-    _C.TPU.MESH_DATA = -1                  # data-parallel axis size (-1: all devices)
+    _C.TPU.MESH_DATA = 1                   # data-parallel axis size (-1: all devices;
+                                           #  default 1 mirrors the reference --num-gpus 1)
     _C.TPU.MESH_MODEL = 1                  # model-parallel axis size
 
     return _C

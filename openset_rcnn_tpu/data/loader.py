@@ -23,16 +23,24 @@ from .transforms import DetectionTransform, TransformedExample
 
 
 class BatchMeta:
-    """Host-side metadata travelling alongside an ImageBatch."""
+    """Host-side metadata travelling alongside an ImageBatch.
 
-    def __init__(self, examples: List[TransformedExample]):
-        self.image_ids = [e.image_id for e in examples]
-        self.input_hw = [e.image_hw for e in examples]
-        self.original_hw = [e.original_hw for e in examples]
+    ``n_real``: number of genuine examples — a final partial eval batch is
+    padded up to the static batch size by repeating its last example, and
+    the metadata lists are truncated so consumers iterate real images only.
+    """
+
+    def __init__(self, examples: List[TransformedExample], n_real: Optional[int] = None):
+        n = len(examples) if n_real is None else n_real
+        self.image_ids = [e.image_id for e in examples[:n]]
+        self.input_hw = [e.image_hw for e in examples[:n]]
+        self.original_hw = [e.original_hw for e in examples[:n]]
         self.bucket_hw = examples[0].bucket_hw
 
 
-def collate(examples: List[TransformedExample]) -> Tuple[ImageBatch, BatchMeta]:
+def collate(
+    examples: List[TransformedExample], n_real: Optional[int] = None
+) -> Tuple[ImageBatch, BatchMeta]:
     images = jnp.asarray(np.stack([e.image for e in examples]))
     image_hw = jnp.asarray([e.image_hw for e in examples], jnp.float32)
     gt = GroundTruth(
@@ -40,7 +48,7 @@ def collate(examples: List[TransformedExample]) -> Tuple[ImageBatch, BatchMeta]:
         classes=jnp.asarray(np.stack([e.classes for e in examples])),
         valid=jnp.asarray(np.stack([e.gt_valid for e in examples])),
     )
-    return ImageBatch(images=images, image_hw=image_hw, gt=gt), BatchMeta(examples)
+    return ImageBatch(images=images, image_hw=image_hw, gt=gt), BatchMeta(examples, n_real)
 
 
 def _filter_empty(records: List[dict]) -> List[dict]:
@@ -87,28 +95,47 @@ class TrainLoader:
             epoch += 1
 
     def __iter__(self) -> Iterator[Tuple[ImageBatch, BatchMeta]]:
+        """Deterministic: batch composition and augmentations are a pure
+        function of (seed, epoch, shard). Workers transform in parallel but
+        (a) each example's augmentation RNG derives from its global sequence
+        number, not the worker id, and (b) the consumer reorders completed
+        examples back into sequence order before batching, so the thread
+        schedule cannot change the stream."""
         idx_stream = self._index_stream()
         lock = threading.Lock()
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
         counter = itertools.count()
 
-        def worker(wid: int):
-            rng = np.random.RandomState((self.seed, 7919, self.shard_id, wid))
+        def worker():
             while True:
                 with lock:
                     i = next(idx_stream)
                     seq = next(counter)
+                rng = np.random.RandomState((self.seed, 7919, seq))
                 ex = self.transform(self.records[i], rng)
-                if ex is not None and ex.gt_valid.any():
-                    out_q.put((seq, ex))
+                if ex is None or not ex.gt_valid.any():
+                    ex = None  # keep the slot so the reorder buffer has no holes
+                out_q.put((seq, ex))
 
-        for wid in range(self.num_workers):
-            threading.Thread(target=worker, args=(wid,), daemon=True).start()
+        for _ in range(self.num_workers):
+            threading.Thread(target=worker, daemon=True).start()
+
+        # reorder buffer: release examples strictly in sequence order
+        def ordered_stream():
+            pending = {}
+            want = 0
+            while True:
+                while want not in pending:
+                    seq, ex = out_q.get()
+                    pending[seq] = ex
+                ex = pending.pop(want)
+                want += 1
+                if ex is not None:
+                    yield ex
 
         # aspect-ratio grouping: collect per-bucket until one fills
         groups = {}
-        while True:
-            _, ex = out_q.get()
+        for ex in ordered_stream():
             groups.setdefault(ex.bucket_hw, []).append(ex)
             g = groups[ex.bucket_hw]
             if len(g) == self.batch_size:
@@ -117,50 +144,83 @@ class TrainLoader:
 
 
 class EvalLoader:
-    """Sequential loader; batches are bucket-homogeneous (batch_size=1 by
-    default, matching the reference's per-GPU test batching, train.py:95)."""
+    """Sequential loader with per-bucket batch accumulation.
 
-    def __init__(self, records: List[dict], transform: DetectionTransform, batch_size: int = 1):
+    The reference evaluates at batch 1/GPU (train.py:95); on the TPU each
+    dispatch costs a host<->device round trip (~25 ms on the tunneled
+    deployment), so eval batches default bigger. Batches stay
+    bucket-homogeneous by accumulating landscape/portrait groups
+    independently; final partial groups are padded to the static batch size
+    (BatchMeta.n_real masks the pads) so jit sees ONE shape per bucket.
+    """
+
+    def __init__(
+        self,
+        records: List[dict],
+        transform: DetectionTransform,
+        batch_size: int = 1,
+        pad_final: bool = True,
+    ):
         self.records = records
         self.transform = transform
         self.batch_size = batch_size
+        self.pad_final = pad_final
 
     def __len__(self):
         return len(self.records)
 
     def __iter__(self) -> Iterator[Tuple[ImageBatch, BatchMeta]]:
         rng = np.random.RandomState(0)  # test transform is deterministic
-        group: List[TransformedExample] = []
+        groups = {}
         for rec in self.records:
             ex = self.transform(rec, rng)
             if ex is None:
                 continue
-            if group and ex.bucket_hw != group[0].bucket_hw:
-                yield collate(group)
-                group = []
-            group.append(ex)
-            if len(group) == self.batch_size:
-                yield collate(group)
-                group = []
-        if group:
-            yield collate(group)
+            groups.setdefault(ex.bucket_hw, []).append(ex)
+            g = groups[ex.bucket_hw]
+            if len(g) == self.batch_size:
+                yield collate(g)
+                groups[ex.bucket_hw] = []
+        for g in groups.values():
+            if not g:
+                continue
+            n_real = len(g)
+            if self.pad_final and n_real < self.batch_size:
+                g = g + [g[-1]] * (self.batch_size - n_real)
+            yield collate(g, n_real)
 
 
-def device_prefetch(iterator, depth: int = 2):
+def device_prefetch(iterator, depth: int = 2, sharding=None):
     """Stage upcoming batches onto the device from a background thread.
 
     Replaces d2's GPU-side prefetching worker semantics: while the current
     step runs, the next batch's host->device transfer is already in flight,
     so the device never waits on PCIe/host.
+
+    ``sharding``: optional NamedSharding pytree-broadcastable over the batch
+    — batches are placed sharded (data-parallel split over the mesh's
+    'data' axis) instead of on the default device. In a multi-process run
+    each process feeds its local shard and the global array is assembled
+    with ``jax.make_array_from_process_local_data``.
     """
     import jax
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
 
+    def place(batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+                batch,
+            )
+        return jax.device_put(batch, sharding)
+
     def worker():
         for batch, meta in iterator:
-            q.put((jax.device_put(batch), meta))
+            q.put((place(batch), meta))
         q.put(_END)
 
     threading.Thread(target=worker, daemon=True).start()

@@ -130,7 +130,12 @@ def do_test(cfg: CfgNode, module, params, spec, datasets=None, eval_type: str = 
         class_id_table = np.asarray(sorted(contig[i] for i in GRASPNET_KNOWN_IDS))
 
     post_cfg = PostprocessConfig.from_cfg(cfg, cfg.OPENDET_BENCHMARK, class_id_table)
-    infer = CompiledInference(module, params, spec)
+    # Fused path: the 3-stage cascade runs on-device (one dispatch + tiny
+    # transfer per batch); the host cascade stays available as the exact
+    # parity oracle via TPU.EVAL_FUSED=False (golden test: test_serving.py).
+    infer = CompiledInference(
+        module, params, spec, post_cfg=post_cfg if cfg.TPU.EVAL_FUSED else None
+    )
     transform = DetectionTransform(
         min_sizes=(cfg.INPUT.MIN_SIZE_TEST,),
         max_size=cfg.INPUT.MAX_SIZE_TEST,
@@ -143,7 +148,7 @@ def do_test(cfg: CfgNode, module, params, spec, datasets=None, eval_type: str = 
     results = {}
     for name in datasets or cfg.DATASETS.TEST:
         records = DatasetCatalog.get(name)
-        loader = EvalLoader(records, transform, batch_size=1)
+        loader = EvalLoader(records, transform, batch_size=cfg.TPU.EVAL_BATCH_SIZE)
         evaluator = get_evaluator(cfg, name, eval_type)
         logger.info("evaluating %s (%d images)", name, len(records))
         results[name] = inference_on_dataset(infer, loader, evaluator, post_cfg)
@@ -179,6 +184,35 @@ def do_train(cfg: CfgNode, resume: bool = False, profile_steps: int = 0, debug_n
     state, resumed = checkpointer.resume_or_load(state, cfg.MODEL.WEIGHTS, resume)
     start_iter = int(state.step)
 
+    # ('data','model') mesh (SURVEY.md §2.2): replaces the reference's
+    # NCCL/DDP launch (ref train.py:201-205,287-294). GSPMD-sharded jit of
+    # the SAME step program — batch split over 'data' (gradient psum over
+    # ICI inserted by XLA), box-head FCs tensor-sharded over 'model'.
+    mesh_model = cfg.TPU.MESH_MODEL
+    mesh_data = cfg.TPU.MESH_DATA
+    if mesh_data == -1:
+        mesh_data = jax.device_count() // mesh_model
+    mesh = None
+    state_shard = batch_shard = rng_shard = None
+    if mesh_data * mesh_model > 1:
+        from ..parallel import batch_sharding, make_mesh, param_sharding, replicated
+
+        mesh = make_mesh(data=mesh_data, model=mesh_model)
+        assert cfg.SOLVER.IMS_PER_BATCH % mesh_data == 0, (
+            f"IMS_PER_BATCH={cfg.SOLVER.IMS_PER_BATCH} not divisible by "
+            f"data axis {mesh_data}"
+        )
+        p_shard = param_sharding(state.params, mesh)
+        state_shard = jax.tree.map(lambda _: replicated(mesh), state)
+        state_shard = state_shard.replace(
+            params=p_shard,
+            opt_state=jax.tree.map(lambda _: replicated(mesh), state.opt_state),
+        )
+        batch_shard = batch_sharding(mesh)
+        rng_shard = replicated(mesh)
+        state = jax.device_put(state, state_shard)
+        logger.info("training on mesh data=%d model=%d", mesh_data, mesh_model)
+
     records = load_train_records(cfg)
     transform = DetectionTransform(
         min_sizes=tuple(cfg.INPUT.MIN_SIZE_TRAIN),
@@ -188,11 +222,17 @@ def do_train(cfg: CfgNode, resume: bool = False, profile_steps: int = 0, debug_n
         flip=cfg.INPUT.RANDOM_FLIP == "horizontal",
         fmt=cfg.INPUT.FORMAT,
     )
+    # Multi-process: each host loads its slice of the global batch
+    # (d2 per-GPU loader semantics — global IMS_PER_BATCH / world_size).
+    n_proc = jax.process_count()
+    assert cfg.SOLVER.IMS_PER_BATCH % n_proc == 0
     loader = TrainLoader(
         records,
         transform,
-        batch_size=cfg.SOLVER.IMS_PER_BATCH,
+        batch_size=cfg.SOLVER.IMS_PER_BATCH // n_proc,
         seed=max(cfg.SEED, 0),
+        shard_id=jax.process_index(),
+        num_shards=n_proc,
         filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
         num_workers=cfg.DATALOADER.NUM_WORKERS,
     )
@@ -206,10 +246,16 @@ def do_train(cfg: CfgNode, resume: bool = False, profile_steps: int = 0, debug_n
     def get_step(bucket):
         if bucket not in step_fns:
             anchors, level_sizes = compute_anchors(spec, bucket)
-            step_fns[bucket] = jax.jit(
-                make_train_step(module, tx, spec, anchors, level_sizes, sched),
-                donate_argnums=0,
-            )
+            step = make_train_step(module, tx, spec, anchors, level_sizes, sched)
+            if mesh is None:
+                step_fns[bucket] = jax.jit(step, donate_argnums=0)
+            else:
+                step_fns[bucket] = jax.jit(
+                    step,
+                    in_shardings=(state_shard, batch_shard, rng_shard),
+                    out_shardings=(state_shard, rng_shard),
+                    donate_argnums=0,
+                )
             logger.info("compiled train step for bucket %s", bucket)
         return step_fns[bucket]
 
@@ -225,7 +271,7 @@ def do_train(cfg: CfgNode, resume: bool = False, profile_steps: int = 0, debug_n
     from ..data.loader import device_prefetch
 
     it = start_iter
-    for batch, meta in device_prefetch(iter(loader)):
+    for batch, meta in device_prefetch(iter(loader), sharding=batch_shard):
         if it >= max_iter:
             break
         if it == profile_start and not profiling:

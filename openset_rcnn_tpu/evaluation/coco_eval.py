@@ -57,8 +57,16 @@ class OpensetCocoEvaluator:
         self.unknown_id = unknown_id
         # "openset" is the benchmark protocol; "cls_agn_unk" reports the
         # recall-focused subset (the reference's other --eval_type values,
-        # train.py:254-260; its "Closeset" scoring path is vestigial —
-        # os_coco_evaluation.py:603 asserts eval_type == "openset").
+        # train.py:254-260). "Closeset" is rejected up front: the reference
+        # CLI accepts it but its scoring path asserts eval_type == "openset"
+        # (os_coco_evaluation.py:602) and crashes — we fail fast with a
+        # clear message instead of silently scoring openset.
+        if eval_type not in ("openset", "cls_agn_unk"):
+            raise ValueError(
+                f"eval_type {eval_type!r} is not supported on the COCO path "
+                "(the reference's Closeset branch is vestigial and asserts "
+                "out at scoring); use 'openset' or 'cls_agn_unk'."
+            )
         self.eval_type = eval_type
 
         if known_ids is None:

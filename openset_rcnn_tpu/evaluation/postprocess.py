@@ -108,6 +108,34 @@ class PostprocessConfig:
         )
 
 
+def finalize_serve_image(
+    boxes: np.ndarray,    # (D, 4) network-input coordinates
+    scores: np.ndarray,   # (D,)
+    classes: np.ndarray,  # (D,) known class idx or cfg.unknown_id
+    valid: np.ndarray,    # (D,)
+    input_hw,
+    output_hw,
+    cfg: PostprocessConfig,
+) -> FinalDetections:
+    """Host finalize for the fused on-device cascade (models/serving.py):
+    the filtering/NMS already ran on-device; what remains is the d2
+    ``detector_postprocess`` rescale to original coordinates plus the
+    GraspNet known-idx -> contiguous-id remap, exactly as in
+    :func:`postprocess_image`'s tail."""
+    b = boxes[valid]
+    s = scores[valid]
+    c = classes[valid].astype(np.int64)
+    if cfg.class_id_table is not None and len(c):
+        known = c != cfg.unknown_id
+        c = np.where(known, cfg.class_id_table[np.where(known, c, 0)], c)
+    sy = output_hw[0] / input_hw[0]
+    sx = output_hw[1] / input_hw[1]
+    out = b * np.asarray([sx, sy, sx, sy], b.dtype)
+    out[:, 0::2] = np.clip(out[:, 0::2], 0, output_hw[1])
+    out[:, 1::2] = np.clip(out[:, 1::2], 0, output_hw[0])
+    return FinalDetections(boxes=out, scores=s, classes=c)
+
+
 def postprocess_image(
     boxes: np.ndarray,        # (P, 4) clipped to network-input extent
     objectness: np.ndarray,   # (P,)

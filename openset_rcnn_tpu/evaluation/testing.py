@@ -22,12 +22,26 @@ logger = logging.getLogger(__name__)
 
 
 class CompiledInference:
-    """Caches a jitted inference function per image bucket."""
+    """Caches a jitted inference function per image bucket.
 
-    def __init__(self, module: OpensetRCNNModule, params, spec: ModelSpec):
+    ``post_cfg`` set: the full 3-stage open-set cascade is FUSED into the
+    device graph (models/serving.py) and the call returns small padded
+    ``ServeDetections`` — one device dispatch and a tiny transfer per batch,
+    with only coordinate rescale left on the host. Unset: returns raw
+    per-proposal outputs for the exact host cascade (the parity oracle,
+    evaluation/postprocess.py)."""
+
+    def __init__(
+        self,
+        module: OpensetRCNNModule,
+        params,
+        spec: ModelSpec,
+        post_cfg: Optional[PostprocessConfig] = None,
+    ):
         self.module = module
         self.params = params
         self.spec = spec
+        self.post_cfg = post_cfg
         self._cache: Dict[tuple, Callable] = {}
 
     def __call__(self, images: jnp.ndarray, image_hw: jnp.ndarray):
@@ -35,13 +49,37 @@ class CompiledInference:
         if bucket not in self._cache:
             anchors, level_sizes = compute_anchors(self.spec, bucket)
             anchors = jnp.asarray(anchors)
-            spec, module = self.spec, self.module
+            spec, module, pc = self.spec, self.module, self.post_cfg
 
-            def fn(params, images, image_hw):
-                return inference_forward(module, params, images, image_hw, spec, anchors, level_sizes)
+            if pc is None:
+                def fn(params, images, image_hw):
+                    return inference_forward(
+                        module, params, images, image_hw, spec, anchors, level_sizes
+                    )
+            else:
+                from ..models.serving import fused_cascade
+
+                def fn(params, images, image_hw):
+                    raw = inference_forward(
+                        module, params, images, image_hw, spec, anchors, level_sizes
+                    )
+                    return fused_cascade(
+                        raw,
+                        obj_thresh=pc.obj_score_thresh,
+                        unk_thr=pc.unk_thr,
+                        known_score_thresh=pc.known_score_thresh,
+                        known_nms_thresh=pc.known_nms_thresh,
+                        known_topk=pc.known_topk,
+                        unknown_score_thresh=pc.unknown_score_thresh,
+                        unknown_nms_thresh=pc.unknown_nms_thresh,
+                        unknown_topk=pc.unknown_topk,
+                        unknown_id=pc.unknown_id,
+                        stage1_topk=pc.detections_per_image,
+                        max_known_candidates=max(2 * pc.detections_per_image, 2000),
+                    )
 
             self._cache[bucket] = jax.jit(fn)
-            logger.info("compiled inference for bucket %s", bucket)
+            logger.info("compiled inference for bucket %s (fused=%s)", bucket, pc is not None)
         return self._cache[bucket](self.params, images, image_hw)
 
 
@@ -51,26 +89,54 @@ def inference_on_dataset(
     evaluator,
     post_cfg: PostprocessConfig,
 ) -> Dict[str, float]:
+    """One-batch pipelining: batch i+1 is dispatched to the device before
+    batch i's results are pulled to the host, overlapping device compute
+    with host post-processing (important on the tunneled deployment where
+    every sync costs a ~25 ms round trip)."""
+    from .postprocess import finalize_serve_image
+
+    fused = infer.post_cfg is not None
     evaluator.reset()
     n_images = 0
     t0 = time.perf_counter()
-    for batch, meta in loader:
-        raw = infer(batch.images, batch.image_hw)
-        raw_np = jax.tree.map(np.asarray, raw)
+
+    def consume(out, meta):
+        nonlocal n_images
+        out_np = jax.tree.map(np.asarray, out)
         for i, image_id in enumerate(meta.image_ids):
-            dets = postprocess_image(
-                raw_np.boxes[i],
-                raw_np.objectness[i],
-                raw_np.min_dist[i],
-                raw_np.pln_class[i],
-                raw_np.known_probs[i],
-                raw_np.valid[i],
-                meta.input_hw[i],
-                meta.original_hw[i],
-                post_cfg,
-            )
+            if fused:
+                dets = finalize_serve_image(
+                    out_np.boxes[i],
+                    out_np.scores[i],
+                    out_np.classes[i],
+                    out_np.valid[i],
+                    meta.input_hw[i],
+                    meta.original_hw[i],
+                    post_cfg,
+                )
+            else:
+                dets = postprocess_image(
+                    out_np.boxes[i],
+                    out_np.objectness[i],
+                    out_np.min_dist[i],
+                    out_np.pln_class[i],
+                    out_np.known_probs[i],
+                    out_np.valid[i],
+                    meta.input_hw[i],
+                    meta.original_hw[i],
+                    post_cfg,
+                )
             evaluator.process(image_id, dets.boxes, dets.scores, dets.classes)
             n_images += 1
+
+    pending = None
+    for batch, meta in loader:
+        out = infer(batch.images, batch.image_hw)  # async dispatch
+        if pending is not None:
+            consume(*pending)
+        pending = (out, meta)
+    if pending is not None:
+        consume(*pending)
     dt = time.perf_counter() - t0
     if n_images:
         logger.info("inference done: %d images in %.1fs (%.2f img/s)", n_images, dt, n_images / dt)

@@ -258,6 +258,14 @@ def pln_loss(
         + jnp.sum(jnp.where(fg_flat, jnp.maximum(beta - inter, 0.0), 0.0))
         + jnp.sum(jnp.maximum(beta + alpha - c_dist, 0.0))
     )
+    # Denominator: the reference divides by gt_classes.numel() = the TOTAL
+    # number of sampled proposals across the batch, fg and bg alike
+    # (prototype_learning_network.py:187). In the fixed-shape sampler a slot
+    # is valid iff it holds one of those sampled proposals (d2
+    # subsample_labels returns num_pos+num_neg <= S without padding,
+    # ops/sampling.py:90-123), so sum(valid) == numel exactly — including
+    # GT-sparse images where both fall short of B*S
+    # (tests/test_matcher_sampling.py::test_pln_denominator_matches_numel).
     denom = jnp.maximum(jnp.sum(rois.valid), 1.0)
     return loss_weight * loss / denom
 

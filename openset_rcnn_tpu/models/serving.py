@@ -57,6 +57,9 @@ def fused_cascade_single(
     max_known_candidates: int,
 ) -> ServeDetections:
     K = known_probs.shape[-1] - 1
+    # cap the static selection sizes by what actually exists
+    stage1_topk = min(stage1_topk, raw_boxes.shape[0])
+    max_known_candidates = min(max_known_candidates, stage1_topk * K)
 
     # ---- stage 1: objectness filter + top-K1 ----
     keep1 = valid & (objectness > obj_thresh)
@@ -103,7 +106,7 @@ def fused_cascade_single(
     uvalid = usel[uperm][:unknown_topk]
     uboxes = boxes1[utake]
     uscores = jnp.where(uvalid, obj1[utake], 0.0)
-    uclasses = jnp.full((unknown_topk,), unknown_id, jnp.int32)
+    uclasses = jnp.full(uboxes.shape[:1], unknown_id, jnp.int32)  # matches utake, which may be < unknown_topk when P is small
 
     return ServeDetections(
         boxes=jnp.concatenate([uboxes, kboxes], 0),

@@ -9,10 +9,14 @@ Design (TPU-first, not a kernel translation):
     gather. No per-level dynamic partitioning, no host round trips.
   * FPN level assignment follows the FPN paper / d2 ``assign_boxes_to_levels``:
     level = floor(4 + log2(sqrt(area)/224)), clamped to [2, 5].
-  * Sampling ratio is static (default 2 -> 2x2 samples/bin). The reference
-    inherits d2's adaptive ratio (ceil(roi/7)); a data-dependent grid is
-    hostile to XLA, and a fixed 2x2 grid is the standard accuracy-neutral
-    choice (documented deviation, SURVEY.md §7.3 item 2).
+  * Sampling ratio: static by default (2 -> 2x2 samples/bin, the standard
+    accuracy-neutral choice). ``sampling_ratio=-1`` reproduces d2's adaptive
+    ``ceil(roi_size/out_size)`` grid (ROIAlignV2 with sampling_ratio=0, the
+    pooler built at osrcnn_roi_heads.py:108-113) for checkpoint-parity runs:
+    the grid stays a STATIC (ADAPTIVE_MAX_RATIO)^2 lattice per bin and
+    samples beyond the per-RoI adaptive count are masked out, so shapes
+    stay fixed under jit; the per-axis count is capped at
+    ADAPTIVE_MAX_RATIO=8 (d2 exceeds 8 only for degenerate aspect>24 boxes).
   * Differentiable by construction: the backward pass is XLA's scatter-add
     of the same gather, so no custom VJP is needed for correctness.
 
@@ -24,6 +28,10 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Static lattice size for the adaptive (sampling_ratio=-1) grid; d2's
+# ceil(roi/7) exceeds 8 samples/axis only for aspect-ratio>24 boxes.
+ADAPTIVE_MAX_RATIO = 8
 
 
 def assign_levels(
@@ -82,7 +90,8 @@ def _multilevel_roi_align_gather(
     assert len(feats) == len(strides)
     C = feats[0].shape[-1]
     R = boxes.shape[0]
-    S = sampling_ratio
+    adaptive = sampling_ratio == -1
+    S = ADAPTIVE_MAX_RATIO if adaptive else sampling_ratio
     P = out_size
 
     hs = jnp.asarray([f.shape[0] for f in feats], jnp.int32)
@@ -108,10 +117,22 @@ def _multilevel_roi_align_gather(
     bin_w = roi_w / P
     bin_h = roi_h / P
 
-    # Sample-point grid: (P*S,) fractional positions along each axis.
-    grid = (jnp.arange(P * S, dtype=jnp.float32) + 0.5) / S  # in bin units
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]        # (R, P*S)
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]        # (R, P*S)
+    # Sample-point grid along each axis: bin index p, sample index j within
+    # the bin -> position p + (j+0.5)/n in bin units ((idx+0.5)/S when n==S).
+    idx_grid = jnp.arange(P * S)
+    p_idx = (idx_grid // S).astype(jnp.float32)
+    j_idx = (idx_grid % S).astype(jnp.float32)
+    if adaptive:
+        # d2 ROIAlignV2 adaptive count: ceil(roi_extent / out_size) samples
+        # per bin axis, evaluated on a masked static S-lattice.
+        n_y = jnp.clip(jnp.ceil(roi_h / P), 1.0, S)  # (R,)
+        n_x = jnp.clip(jnp.ceil(roi_w / P), 1.0, S)
+    else:
+        n_y = n_x = jnp.full((R,), float(S), jnp.float32)
+    ys = y1[:, None] + (p_idx + (j_idx + 0.5) / n_y[:, None]) * bin_h[:, None]  # (R, P*S)
+    xs = x1[:, None] + (p_idx + (j_idx + 0.5) / n_x[:, None]) * bin_w[:, None]
+    act_y = j_idx[None, :] < n_y[:, None]  # (R, P*S) sample active on y-axis
+    act_x = j_idx[None, :] < n_x[:, None]
 
     Hf = H.astype(jnp.float32)[:, None]
     Wf = W.astype(jnp.float32)[:, None]
@@ -149,7 +170,9 @@ def _multilevel_roi_align_gather(
     w01 = ((1 - ly)[:, :, None] * lx[:, None, :])
     w10 = (ly[:, :, None] * (1 - lx)[:, None, :])
     w11 = (ly[:, :, None] * lx[:, None, :])
-    pt_ok = (y_ok[:, :, None] & x_ok[:, None, :]).astype(flat.dtype)
+    pt_ok = (
+        (y_ok & act_y)[:, :, None] & (x_ok & act_x)[:, None, :]
+    ).astype(flat.dtype)
 
     def g(idx):
         return flat[idx.reshape(-1)].reshape(R, P * S, P * S, C)
@@ -161,8 +184,12 @@ def _multilevel_roi_align_gather(
         + g(i11) * w11[..., None]
     ) * pt_ok[..., None]
 
-    # Average S x S sample points per bin.
+    # Average the active sample points per bin (n_y*n_x of the S*S lattice;
+    # boundary-clipped points contribute 0 to the sum but stay in the count,
+    # matching d2's `output_val /= count`).
     val = val.reshape(R, P, S, P, S, C)
+    if adaptive:
+        return val.sum(axis=(2, 4)) / (n_y * n_x)[:, None, None, None]
     return val.mean(axis=(2, 4))
 
 
@@ -317,6 +344,8 @@ def multilevel_roi_align_batched(
     coarser (window fit); use 'gather' for exact reference parity.
     """
     feats = tuple(feats)
+    if sampling_ratio == -1:
+        impl = "gather"  # adaptive grid is only expressed by the gather impl
     if impl == "gather":
         return jax.vmap(
             lambda fl, bb: _multilevel_roi_align_gather(

@@ -17,12 +17,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """A mesh over the first data*model visible devices — like the
+    reference's --num-gpus, which may use a subset of the host's GPUs
+    (ref train.py:287-294)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    return Mesh(np.asarray(devices).reshape(data, model), ("data", "model"))
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    return Mesh(np.asarray(devices[: data * model]).reshape(data, model), ("data", "model"))
 
 
 # Param-path suffixes sharded on the model axis: (pytree path regex-free

@@ -22,16 +22,32 @@ def num_processes() -> int:
     return jax.process_count()
 
 
+_distributed_initialized = False
+
+
 def initialize_distributed(coordinator: str | None = None):
     """Single-controller init (replaces d2 `launch`, train.py:287-294).
 
     On Cloud TPU pods, jax.distributed.initialize() autodetects the
     coordinator; the explicit address is for manual clusters.
+
+    MUST run before any backend-touching jax call (jax.devices(),
+    jax.process_count(), jit, ...): querying the backend first finalizes a
+    local single-process client and the pod init becomes a no-op. We track
+    our own guard flag instead of asking jax for that reason.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    kwargs = {"coordinator_address": coordinator} if coordinator else {}
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # Raised when the distributed service already exists (e.g. a test
+        # harness initialized it) — safe to proceed on the existing client.
+        if "already" not in str(e).lower():
+            raise
+    _distributed_initialized = True
 
 
 def gather_object(obj: Any) -> List[Any]:

@@ -109,3 +109,18 @@ def test_coco_evaluator_wrapper_end_to_end(tmp_path):
     res3 = ev.evaluate()
     assert res3["AOSE"] == 1.0
     assert res3["AP"] == 0.0
+
+    # eval_type output keys (reference _derive_coco_results branches,
+    # os_coco_evaluation.py:349-460): cls_agn_unk is the recall-centric
+    # subset; Closeset is rejected up front (the reference's scoring path
+    # asserts eval_type == "openset" at os_coco_evaluation.py:602).
+    for key in ("AP", "AP50", "WI", "AOSE", "AP-unknown", "AR@100-unknown"):
+        assert key in res, key
+    ev4 = OpensetCocoEvaluator(
+        name, known_ids=[7, 9], output_dir=str(tmp_path / "out"),
+        unknown_id=1000, eval_type="cls_agn_unk",
+    )
+    res4 = ev4.evaluate(resume=True)
+    assert set(res4) == {"AR@10", "AR@20", "AR@30", "AR@50", "AR@100", "AP"}
+    with pytest.raises(ValueError, match="Closeset"):
+        OpensetCocoEvaluator(name, known_ids=[7, 9], eval_type="Closeset")

@@ -101,3 +101,39 @@ def test_sample_balanced_underfull():
     neg = jnp.asarray([False] * 3 + [True] * 20 + [False] * 77)
     s = sample_balanced_indices(pos, neg, 512, 0.25, key)
     assert np.asarray(s.valid).sum() == 23
+
+
+def test_pln_denominator_matches_numel():
+    """The PLN loss denominator (sum of valid sampled slots,
+    roi_heads.py pln_loss) must equal the reference's gt_classes.numel()
+    — the number of proposals d2's subsample_labels actually returns
+    (prototype_learning_network.py:187) — on GT-sparse images where both
+    fall short of the 512-slot budget."""
+    from openset_rcnn_tpu.models.roi_heads import label_and_sample_proposals
+    from openset_rcnn_tpu.structures import GroundTruth, Proposals
+
+    key = jax.random.PRNGKey(7)
+    B, P, G, S = 2, 40, 4, 32
+    rng = np.random.RandomState(0)
+    xy = rng.uniform(0, 200, (B, P, 2)).astype(np.float32)
+    wh = rng.uniform(10, 60, (B, P, 2)).astype(np.float32)
+    pboxes = np.concatenate([xy, xy + wh], -1)
+    pvalid = np.zeros((B, P), bool)
+    pvalid[0, :10] = True   # GT-sparse image: only 10 usable proposals
+    pvalid[1, :] = True
+    gboxes = np.zeros((B, G, 4), np.float32)
+    gboxes[:, 0] = [20, 20, 80, 80]
+    gvalid = np.zeros((B, G), bool)
+    gvalid[:, 0] = True
+
+    rois = label_and_sample_proposals(
+        Proposals(jnp.asarray(pboxes), jnp.ones((B, P)), jnp.asarray(pvalid)),
+        GroundTruth(jnp.asarray(gboxes), jnp.zeros((B, G), jnp.int32), jnp.asarray(gvalid)),
+        key, num_samples=S, positive_fraction=0.25, iou_threshold=0.5, num_classes=3,
+    )
+    valid = np.asarray(rois.valid)
+    # reference numel per image = num_pos + num_neg where each pool is the
+    # candidate count (proposals + appended valid GT), capped like d2
+    for b in range(B):
+        n_cand = int(pvalid[b].sum()) + int(gvalid[b].sum())
+        assert valid[b].sum() == min(S, n_cand), (b, valid[b].sum(), n_cand)

@@ -103,3 +103,61 @@ def test_gradients_flow(rng):
     g = jax.grad(f)(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def oracle_roi_align_adaptive(feat, boxes, scale, out=7):
+    """d2 ROIAlignV2 sampling_ratio=0 semantics: ceil(roi/out) samples per
+    bin axis, sum / (grid_h * grid_w)."""
+    H, W, C = feat.shape
+    res = np.zeros((len(boxes), out, out, C), np.float32)
+    for r, (bx1, by1, bx2, by2) in enumerate(boxes):
+        x1, y1 = bx1 * scale - 0.5, by1 * scale - 0.5
+        x2, y2 = bx2 * scale - 0.5, by2 * scale - 0.5
+        bh, bw = (y2 - y1) / out, (x2 - x1) / out
+        gh = max(1, int(np.ceil((y2 - y1) / out)))
+        gw = max(1, int(np.ceil((x2 - x1) / out)))
+        for i in range(out):
+            for j in range(out):
+                acc = np.zeros(C, np.float32)
+                for a in range(gh):
+                    for b in range(gw):
+                        y = y1 + (i + (a + 0.5) / gh) * bh
+                        x = x1 + (j + (b + 0.5) / gw) * bw
+                        if y <= -1.0 or y >= H or x <= -1.0 or x >= W:
+                            continue
+                        y = min(max(y, 0.0), H - 1)
+                        x = min(max(x, 0.0), W - 1)
+                        y0, x0 = int(np.floor(y)), int(np.floor(x))
+                        y1i, x1i = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+                        ly, lx = y - y0, x - x0
+                        acc += (
+                            feat[y0, x0] * (1 - ly) * (1 - lx)
+                            + feat[y0, x1i] * (1 - ly) * lx
+                            + feat[y1i, x0] * ly * (1 - lx)
+                            + feat[y1i, x1i] * ly * lx
+                        )
+                res[r, i, j] = acc / (gh * gw)
+    return res
+
+
+def test_adaptive_sampling_ratio_matches_d2_oracle(rng):
+    """sampling_ratio=-1 reproduces d2's adaptive ceil(roi/7) grid
+    (ROIAlignV2 built with sampling_ratio=0 at osrcnn_roi_heads.py:108-113)
+    for per-axis counts from 1 up to the static cap."""
+    H, W, C = 48, 64, 4
+    feat = rng.randn(H, W, C).astype(np.float32)
+    boxes = np.asarray(
+        [
+            [4.0, 4.0, 24.0, 24.0],       # feature extent 5   -> n=1
+            [4.0, 4.0, 60.0, 100.0],      # 14 x 24            -> n=2 x 4
+            [0.0, 0.0, 180.0, 120.0],     # 45 x 30            -> n=7 x 5
+            [2.0, 10.0, 220.0, 40.0],     # wide: 54.5 x 7.5   -> n=8 x 2
+            [100.0, 80.0, 260.0, 200.0],  # extends past the feature map
+        ],
+        np.float32,
+    )
+    got = multilevel_roi_align(
+        [jnp.asarray(feat)], jnp.asarray(boxes), strides=[4], out_size=7, sampling_ratio=-1
+    )
+    want = oracle_roi_align_adaptive(feat, boxes, 0.25)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)

@@ -35,6 +35,44 @@ def as_set(boxes, scores, classes):
     }
 
 
+def test_fused_finalize_matches_host_full_path(rng):
+    """The do_test fused route (device cascade + host finalize_serve_image)
+    must equal the exact host cascade including the rescale to original
+    coordinates and the GraspNet known-idx -> contiguous-id remap."""
+    from openset_rcnn_tpu.evaluation.postprocess import finalize_serve_image
+
+    raw = make_raw(rng)
+    table = np.asarray([5, 9, 17])  # 3 known classes -> contiguous dataset ids
+    kw = dict(
+        unk_thr=0.5, known_score_thresh=0.05, known_nms_thresh=0.5,
+        known_topk=50, unknown_score_thresh=0.0, unknown_nms_thresh=0.5,
+        unknown_topk=50, unknown_id=1000,
+    )
+    cfg = PostprocessConfig(
+        obj_score_thresh=0.05, detections_per_image=1000,
+        class_id_table=table, **kw,
+    )
+    fused = fused_cascade(
+        raw, obj_thresh=0.05, stage1_topk=64, max_known_candidates=192, **kw
+    )
+    input_hw, output_hw = (400, 400), (250, 330)
+    for i in range(raw.boxes.shape[0]):
+        host = postprocess_image(
+            np.asarray(raw.boxes[i]), np.asarray(raw.objectness[i]),
+            np.asarray(raw.min_dist[i]), np.asarray(raw.pln_class[i]),
+            np.asarray(raw.known_probs[i]), np.asarray(raw.valid[i]),
+            input_hw, output_hw, cfg,
+        )
+        fin = finalize_serve_image(
+            np.asarray(fused.boxes[i]), np.asarray(fused.scores[i]),
+            np.asarray(fused.classes[i]), np.asarray(fused.valid[i]),
+            input_hw, output_hw, cfg,
+        )
+        got = as_set(fin.boxes, fin.scores, fin.classes)
+        want = as_set(host.boxes, host.scores, host.classes)
+        assert got == want, f"image {i}\nonly-fused: {got - want}\nonly-host: {want - got}"
+
+
 def test_fused_matches_host_cascade(rng):
     raw = make_raw(rng)
     cfg = PostprocessConfig(

@@ -9,7 +9,8 @@ Interface-compatible with the reference entry point (train.py:229-281):
 
 Multi-chip execution replaces the reference's --num-gpus/NCCL launch
 (SURVEY.md §2.2): one process drives a ('data','model') jax.sharding.Mesh;
---num-chips bounds the data axis (default: all visible chips).
+--num-chips sets the data axis size (default: config TPU.MESH_DATA = 1;
+use TPU.MESH_DATA -1 for all visible chips).
 """
 from __future__ import annotations
 
@@ -30,6 +31,11 @@ def setup(args) -> "CfgNode":
     if args.opendet_benchmark:
         cfg.OPENDET_BENCHMARK = True
     cfg.merge_from_list(args.opts)
+    if args.num_chips > 0:
+        # --num-chips N trains data-parallel over an N-chip mesh axis
+        # (replaces the reference --num-gpus launch, train.py:287-294);
+        # default -1 keeps the config's TPU.MESH_DATA.
+        cfg.TPU.MESH_DATA = args.num_chips
     cfg.freeze()
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
 
@@ -112,8 +118,10 @@ def get_parser():
     parser.add_argument(
         "--eval_type",
         default="openset",
-        choices=["openset", "cls_agn_unk", "Closeset"],
-        help="evaluation protocol variant",
+        choices=["openset", "cls_agn_unk"],
+        help="evaluation protocol variant (the reference also lists "
+        "'Closeset' but its scoring path asserts out; we reject it up "
+        "front)",
     )
     parser.add_argument("--opendet-benchmark", action="store_true")
     parser.add_argument("--num-chips", type=int, default=-1, help="data-parallel chips")
