@@ -118,6 +118,14 @@ def get_evaluator(cfg: CfgNode, dataset_name: str, eval_type: str = "openset"):
     raise ValueError(f"no evaluator for type {etype}")
 
 
+def shard_eval_records(records, shard_id: int, num_shards: int):
+    """Round-robin slice of the eval set for one process (d2
+    InferenceSampler semantics: disjoint cover, every index assigned)."""
+    if num_shards <= 1:
+        return records
+    return records[shard_id::num_shards]
+
+
 def do_test(cfg: CfgNode, module, params, spec, datasets=None, eval_type: str = "openset") -> Dict[str, Dict[str, float]]:
     from ..evaluation.postprocess import PostprocessConfig
     from ..evaluation.testing import CompiledInference, inference_on_dataset
@@ -148,6 +156,11 @@ def do_test(cfg: CfgNode, module, params, spec, datasets=None, eval_type: str = 
     results = {}
     for name in datasets or cfg.DATASETS.TEST:
         records = DatasetCatalog.get(name)
+        # Multi-process eval sharding: each process infers a round-robin
+        # slice; the evaluators' evaluate() gathers detections across
+        # processes (reference d2 InferenceSampler + comm.gather,
+        # os_coco_evaluation.py:163-169, pascal_voc_evaluation.py:106).
+        records = shard_eval_records(records, jax.process_index(), jax.process_count())
         loader = EvalLoader(records, transform, batch_size=cfg.TPU.EVAL_BATCH_SIZE)
         evaluator = get_evaluator(cfg, name, eval_type)
         logger.info("evaluating %s (%d images)", name, len(records))

@@ -101,6 +101,7 @@ class ModelSpec(NamedTuple):
     rpn_delta_bias_init: float
     resnet_depth: int
     roi_align_impl: str
+    roi_align_bwd: str = "pallas"
 
     @staticmethod
     def from_cfg(cfg, id_map: Sequence[int]) -> "ModelSpec":
@@ -154,6 +155,7 @@ class ModelSpec(NamedTuple):
             rpn_delta_bias_init=m.RPN.get("DELTA_BIAS_INIT", 0.0),
             resnet_depth=m.RESNETS.DEPTH,
             roi_align_impl=cfg.TPU.get("ROI_ALIGN_IMPL", "auto"),
+            roi_align_bwd=cfg.TPU.get("ROI_ALIGN_BWD", "pallas"),
         )
 
 
@@ -240,6 +242,7 @@ class OpensetRCNNModule(nn.Module):
             resolution=self.spec.pooler_resolution,
             sampling_ratio=self.spec.roi_sampling_ratio,
             impl=impl,
+            bwd_impl=self.spec.roi_align_bwd,
         )
         feats = self.box_head(pooled)                      # (B, S, fc_dim)
         deltas, iou = self.box_predictor(feats)            # (B, S, 4), (B, S)

@@ -294,6 +294,7 @@ def pool_features(
     sampling_ratio: int = 2,
     pool_dtype=jnp.bfloat16,
     impl: str = "gather",
+    bwd_impl: str = "pallas",
 ) -> jnp.ndarray:
     # The RoIAlign gather/scatter pair is HBM-bandwidth bound and dominates
     # the device step time. impl="pallas" routes the forward through the
@@ -301,7 +302,8 @@ def pool_features(
     # traffic. Pooled features are promoted back to f32 before the FC head.
     feats = [fpn_feats[f].astype(pool_dtype) for f in in_features]
     out = multilevel_roi_align_batched(
-        feats, boxes, strides, out_size=resolution, sampling_ratio=sampling_ratio, impl=impl
+        feats, boxes, strides, out_size=resolution, sampling_ratio=sampling_ratio,
+        impl=impl, bwd_impl=bwd_impl,
     )
     return out.astype(jnp.float32)  # (B, S, 7, 7, C)
 

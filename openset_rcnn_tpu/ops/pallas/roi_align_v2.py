@@ -13,8 +13,13 @@ IoU-match kernels' compile times flat:
   * the sample ordering [all sub-sample 0 | all sub-sample 1] makes the 2x2
     bin average four STATIC slices in both axes.
 
-Backward: a custom VJP reuses the exact-gather implementation's gradient
-(the scatter-add cost is unchanged; this kernel accelerates the forward).
+Backward: `roi_align_pallas_v2_bwd` mirrors the forward — per RoI it
+computes the (WIN_Y, WIN_X, C) window gradient by running the two
+interpolation steps transposed (dout -> dt1 -> dwin), then read-modify-
+writes the window into a per-level f32 HBM accumulator. The RMW is
+race-free because the TPU Pallas grid executes sequentially on the core
+(dimension_semantics "arbitrary"); replaces XLA's row scatter-add, the
+single largest device cost of the train step (PERFORMANCE.md).
 """
 from __future__ import annotations
 
@@ -153,3 +158,169 @@ def roi_align_pallas_v2(
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     # kernel emits (x_bin, y_bin, C); swap to RoIAlign's (y_bin, x_bin, C)
     return out.reshape(B, R, P, P, C).transpose(0, 1, 3, 2, 4)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(
+    lvl_ref, gy_ref, bx_ref, y0_ref, y1_ref, x0_ref, x1_ref,
+    w0y_ref, w1y_ref, w0x_ref, w1x_ref,
+    g_ref, a0_ref, a1_ref, a2_ref, a3_ref,
+    o0_ref, o1_ref, o2_ref, o3_ref,
+    dwin_ref, rmw_ref, t1_ref, s_ref, sem_r, sem_w,
+    *, P: int, S: int, C: int,
+):
+    del a0_ref, a1_ref, a2_ref, a3_ref  # aliased to o*_ref
+    r = pl.program_id(0)
+    PS = P * S
+    lvl = lvl_ref[r]
+    gy = gy_ref[r]
+    bx = pl.multiple_of(bx_ref[r], 8)
+    base = r * PS
+    outs = (o0_ref, o1_ref, o2_ref, o3_ref)
+
+    # Fetch the current accumulator window early; overlaps with the
+    # transposed interpolation below. Safe vs the previous program's
+    # write-back: the grid is sequential and that DMA was waited on.
+    for li, a_ref in enumerate(outs):
+        @pl.when(lvl == li)
+        def _():
+            pltpu.make_async_copy(
+                a_ref.at[pl.ds(gy, WIN_Y), pl.ds(bx, WIN_X), :], rmw_ref, sem_r
+            ).start()
+
+    # d(bin average): spread g into the S*S sample quadrants.
+    # Forward emitted out[q, p, c] from acc rows q (x bin) and lane blocks
+    # p (y bin); the caller feeds g already transposed to (q, p, C).
+    gk = g_ref[0].reshape(P, P * C) * (1.0 / (S * S))
+    HALF = P * C
+    for a in range(S):
+        for b in range(S):
+            s_ref[a * P : (a + 1) * P, 0, b * HALF : (b + 1) * HALF] = gk
+
+    # d(x-interp): dt1[x0_q] += w0x_q ds[q]; dt1[x1_q] += w1x_q ds[q]
+    t1_ref[:, :, :] = jnp.zeros((WIN_X, 1, PS * C), jnp.float32)
+
+    def xloop(q, _):
+        row = s_ref[q, 0, :]
+        x0 = x0_ref[base + q]
+        x1 = x1_ref[base + q]
+        t1_ref[x0, 0, :] = t1_ref[x0, 0, :] + row * w0x_ref[base + q]
+        t1_ref[x1, 0, :] = t1_ref[x1, 0, :] + row * w1x_ref[base + q]
+        return 0
+
+    jax.lax.fori_loop(0, PS, xloop, 0)
+
+    # d(y-interp): dwin[y0_p, x, :] += w0y_p dt1[x, p]; same for y1_p
+    dwin_ref[:, :, :] = jnp.zeros((WIN_Y, WIN_X, C), jnp.float32)
+
+    def yloop(p, _):
+        off = pl.multiple_of(p * C, 128)
+        row = t1_ref[:, 0, pl.ds(off, C)]  # (WIN_X, C)
+        y0 = y0_ref[base + p]
+        y1 = y1_ref[base + p]
+        dwin_ref[y0, :, :] = dwin_ref[y0, :, :] + row * w0y_ref[base + p]
+        dwin_ref[y1, :, :] = dwin_ref[y1, :, :] + row * w1y_ref[base + p]
+        return 0
+
+    jax.lax.fori_loop(0, PS, yloop, 0)
+
+    # Read-modify-write the window into the level accumulator.
+    for li, a_ref in enumerate(outs):
+        @pl.when(lvl == li)
+        def _():
+            pltpu.make_async_copy(
+                a_ref.at[pl.ds(gy, WIN_Y), pl.ds(bx, WIN_X), :], rmw_ref, sem_r
+            ).wait()
+            rmw_ref[:, :, :] = rmw_ref[:, :, :] + dwin_ref[:, :, :]
+            wr = pltpu.make_async_copy(
+                rmw_ref, a_ref.at[pl.ds(gy, WIN_Y), pl.ds(bx, WIN_X), :], sem_w
+            )
+            wr.start()
+            wr.wait()
+
+
+def roi_align_pallas_v2_bwd(
+    feats: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    g: jnp.ndarray,
+    strides: Sequence[int],
+    out_size: int = 7,
+    sampling_ratio: int = 2,
+    interpret: bool = False,
+):
+    """d(roi_align_pallas_v2)/d(feats). g: (B, R, P, P, C) cotangent.
+
+    Returns per-level f32 gradients shaped (B, H_l, W_l, C). Boxes get no
+    gradient (proposals are stop-gradient upstream)."""
+    B, R = boxes.shape[:2]
+    C = feats[0].shape[-1]
+    P, S = out_size, sampling_ratio
+    PS = P * S
+
+    real_hw, pad_hw = [], []
+    for f in feats:
+        Hp = max(f.shape[1], WIN_Y)
+        Wp = (max(f.shape[2], WIN_X) + 7) // 8 * 8
+        real_hw.append((f.shape[1], f.shape[2]))
+        pad_hw.append((Hp, Wp))
+
+    flat_boxes = boxes.reshape(B * R, 4)
+    geo = _geometry(real_hw, pad_hw, strides, flat_boxes, P, S, len(feats))
+    img = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+    hps = jnp.asarray([h for h, _ in pad_hw], jnp.int32)
+    gy = img * hps[geo["lvl"]] + geo["base_y"]
+
+    # forward emitted (p, q, C) per RoI; kernel coords are (q, p, C)
+    gk = g.transpose(0, 1, 3, 2, 4).reshape(B * R, P, P, C).astype(jnp.float32)
+
+    accs = [jnp.zeros((B * hp, wp, C), jnp.float32) for hp, wp in pad_hw]
+    N = B * R
+    for start in range(0, N, CHUNK):
+        end = min(start + CHUNK, N)
+        sl = slice(start, end)
+        n = end - start
+        accs = list(
+            pl.pallas_call(
+                functools.partial(_bwd_kernel, P=P, S=S, C=C),
+                interpret=interpret,
+                out_shape=[
+                    jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in accs
+                ],
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=11,
+                    grid=(n,),
+                    in_specs=[pl.BlockSpec((1, P, P, C), lambda r, *_: (r, 0, 0, 0))]
+                    + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+                    out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+                    scratch_shapes=[
+                        pltpu.VMEM((WIN_Y, WIN_X, C), jnp.float32),
+                        pltpu.VMEM((WIN_Y, WIN_X, C), jnp.float32),
+                        pltpu.VMEM((WIN_X, 1, PS * C), jnp.float32),
+                        pltpu.VMEM((PS, 1, PS * C), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                    ],
+                ),
+                # aliases count flattened scalar-prefetch operands too:
+                # 11 scalars + g -> the 4 accumulators sit at 12..15
+                input_output_aliases={12 + i: i for i in range(4)},
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)
+                ),
+            )(
+                geo["lvl"][sl], gy[sl], geo["base_x"][sl],
+                geo["y0r"][sl].reshape(-1), geo["y1r"][sl].reshape(-1),
+                geo["x0r"][sl].reshape(-1), geo["x1r"][sl].reshape(-1),
+                geo["w0y"][sl].reshape(-1), geo["w1y"][sl].reshape(-1),
+                geo["w0x"][sl].reshape(-1), geo["w1x"][sl].reshape(-1),
+                gk[sl], *accs,
+            )
+        )
+
+    grads = []
+    for acc, (hp, wp), (h, w) in zip(accs, pad_hw, real_hw):
+        grads.append(acc.reshape(B, hp, wp, C)[:, :h, :w, :])
+    return grads

@@ -332,14 +332,18 @@ def multilevel_roi_align_batched(
     out_size: int = 7,
     sampling_ratio: int = 2,
     impl: str = "gather",
+    bwd_impl: str = "pallas",
 ):
     """Batched RoIAlign: feats per-level (B, H, W, C); boxes (B, R, 4).
 
     impl='pallas' runs the fori-loop Pallas kernel forward
     (ops/pallas/roi_align_v2.py — ~5x the XLA gather on v5e) with a custom
-    VJP whose backward is the gather formulation's scatter-add (the unused
-    forward gathers inside the VJP are DCE'd by XLA). Boxes receive zero
-    gradient (proposals are stop-gradient upstream, SURVEY.md §3.1).
+    VJP. The backward defaults to the mirrored Pallas window-RMW kernel
+    (roi_align_pallas_v2_bwd — replaces XLA's row scatter-add, the largest
+    single device cost of the train step); bwd_impl='xla' falls back to the
+    gather formulation's scatter-add (the unused forward gathers inside the
+    VJP are DCE'd by XLA). Boxes receive zero gradient (proposals are
+    stop-gradient upstream, SURVEY.md §3.1).
     NOTE: the pallas path pools aspect-ratio>~3.6 boxes one FPN level
     coarser (window fit); use 'gather' for exact reference parity.
     """
@@ -353,7 +357,7 @@ def multilevel_roi_align_batched(
             )
         )(feats, boxes)
 
-    from .pallas.roi_align_v2 import roi_align_pallas_v2
+    from .pallas.roi_align_v2 import roi_align_pallas_v2, roi_align_pallas_v2_bwd
 
     strides_t = tuple(strides)
 
@@ -366,16 +370,22 @@ def multilevel_roi_align_batched(
 
     def _bwd(res, g):
         fs, bx = res
-        # f32 for the scatter accumulation regardless of pooling dtype
-        _, vjp = jax.vjp(
-            lambda f: jax.vmap(
-                lambda fl, bb: _multilevel_roi_align_gather(
-                    list(fl), bb, strides_t, out_size, sampling_ratio
-                )
-            )(f, bx),
-            fs,
-        )
-        (dfs,) = vjp(g)
+        if bwd_impl == "pallas":
+            dfs = roi_align_pallas_v2_bwd(
+                list(fs), bx, g, strides_t, out_size, sampling_ratio
+            )
+            dfs = tuple(d.astype(f.dtype) for d, f in zip(dfs, fs))
+        else:
+            # f32 for the scatter accumulation regardless of pooling dtype
+            _, vjp = jax.vjp(
+                lambda f: jax.vmap(
+                    lambda fl, bb: _multilevel_roi_align_gather(
+                        list(fl), bb, strides_t, out_size, sampling_ratio
+                    )
+                )(f, bx),
+                fs,
+            )
+            (dfs,) = vjp(g)
         return dfs, jnp.zeros_like(bx)
 
     _hybrid.defvjp(_fwd, _bwd)
