@@ -65,3 +65,32 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_scan_train_step(
+    module: OpensetRCNNModule,
+    tx: optax.GradientTransformation,
+    spec,
+    anchors,
+    level_sizes: Sequence[int],
+    lr_schedule: Callable | None = None,
+) -> Callable[[TrainState, ImageBatch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """K sequential SGD steps in ONE dispatch via ``lax.scan``.
+
+    Takes an ImageBatch whose leaves carry a leading (K, B, ...) axis and
+    runs K full train steps on-device, returning the LAST step's metrics.
+    Semantically identical to K calls of ``make_train_step``'s fn (per-step
+    RNG is folded from ``state.step`` inside, so the stream matches).
+    Amortizes host->device dispatch — on tunneled/shared deployments each
+    dispatch costs ~10-25 ms, a large fraction of a ~150 ms step.
+    """
+    step = make_train_step(module, tx, spec, anchors, level_sizes, lr_schedule)
+
+    def scan_step(state: TrainState, batches: ImageBatch, rng: jax.Array):
+        def body(st, b):
+            return step(st, b, rng)
+
+        state, metrics = jax.lax.scan(body, state, batches)
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return scan_step

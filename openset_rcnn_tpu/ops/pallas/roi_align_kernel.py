@@ -38,12 +38,14 @@ CHUNK = 2048       # rois per pallas_call (bounds SMEM index/weight usage)
 # Host-side geometry (shared with the XLA paths)
 # ---------------------------------------------------------------------------
 
-def _geometry(real_hw, pad_hw, strides, boxes, P, S, n_levels):
+def _geometry(real_hw, pad_hw, strides, boxes, P, S, n_levels, win_y=WIN_Y, win_x=WIN_X):
     """Per-roi level, window bases and interpolation data.
 
     real_hw: true per-level (H, W) — governs sample clipping (edge
     replication must use the REAL boundary, not the padding). pad_hw:
     padded (H, W) — governs window-base clamping. boxes: (R, 4).
+    win_y/win_x: window size the bases are clamped for (the v2 kernels use
+    several window classes; small RoIs ride a smaller window = less DMA).
     """
     PS = P * S
     hs = jnp.asarray([h for h, _ in real_hw], jnp.int32)
@@ -95,8 +97,8 @@ def _geometry(real_hw, pad_hw, strides, boxes, P, S, n_levels):
 
     Hp = hps[lvl]
     Wp = wps[lvl]
-    base_y = jnp.clip(jnp.min(y0, axis=1).astype(jnp.int32), 0, Hp - WIN_Y)
-    base_x = jnp.clip(jnp.min(x0, axis=1).astype(jnp.int32), 0, Wp - WIN_X)
+    base_y = jnp.clip(jnp.min(y0, axis=1).astype(jnp.int32), 0, Hp - win_y)
+    base_x = jnp.clip(jnp.min(x0, axis=1).astype(jnp.int32), 0, Wp - win_x)
     base_x = (base_x // 8) * 8  # sublane alignment for the window DMA
 
     return dict(
