@@ -40,6 +40,12 @@ def get_default_cfg() -> CN:
     _C.MODEL.RESNETS.NORM = "FrozenBN"
     _C.MODEL.RESNETS.STRIDE_IN_1X1 = True
 
+    # Swin backbone (BASELINE stretch; not in the reference yacs tree —
+    # selected via MODEL.BACKBONE.NAME build_swin_fpn_backbone)
+    _C.MODEL.SWIN = CN()
+    _C.MODEL.SWIN.SIZE = "T"  # T | S | B (models/swin.py SWIN_VARIANTS)
+    _C.MODEL.SWIN.WINDOW = 7
+
     _C.MODEL.FPN = CN()
     _C.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
     _C.MODEL.FPN.OUT_CHANNELS = 256

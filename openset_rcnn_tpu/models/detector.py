@@ -102,6 +102,7 @@ class ModelSpec(NamedTuple):
     resnet_depth: int
     roi_align_impl: str
     roi_align_bwd: str = "pallas"
+    swin_size: str = "T"
 
     @staticmethod
     def from_cfg(cfg, id_map: Sequence[int]) -> "ModelSpec":
@@ -154,6 +155,7 @@ class ModelSpec(NamedTuple):
             backbone_name=m.BACKBONE.NAME,
             rpn_delta_bias_init=m.RPN.get("DELTA_BIAS_INIT", 0.0),
             resnet_depth=m.RESNETS.DEPTH,
+            swin_size=m.SWIN.SIZE,
             roi_align_impl=cfg.TPU.get("ROI_ALIGN_IMPL", "auto"),
             roi_align_bwd=cfg.TPU.get("ROI_ALIGN_BWD", "pallas"),
         )
@@ -192,6 +194,11 @@ class OpensetRCNNModule(nn.Module):
             # ViTDet-style trunk emits the pyramid directly (models/vit.py)
             self.backbone = ViTSimpleFPN(compute_dtype=dtype)
             self.fpn = None
+        elif self.spec.backbone_name == "build_swin_fpn_backbone":
+            from .swin import SwinTransformer
+
+            self.backbone = SwinTransformer(size=self.spec.swin_size, compute_dtype=dtype)
+            self.fpn = FPN(out_channels=256, compute_dtype=dtype)
         else:
             self.backbone = ResNet(
                 depth=self.spec.resnet_depth, compute_dtype=dtype, remat=self.spec.remat

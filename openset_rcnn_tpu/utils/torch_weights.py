@@ -196,6 +196,86 @@ def convert_torch_checkpoint(path: str, params_template) -> Any:
     return flax.serialization.from_state_dict(params_template, p)
 
 
+_SWIN_DEPTHS = {"T": (2, 2, 6, 2), "S": (2, 2, 18, 2), "B": (2, 2, 18, 2)}
+
+
+def convert_swin_torch(path: str, params_template, size: str = "T", depths=None) -> Any:
+    """Official Swin ImageNet checkpoint (microsoft/Swin-Transformer names:
+    ``patch_embed.proj``, ``layers.{s}.blocks.{b}.attn.qkv`` …) -> the
+    ``backbone`` subtree of our param tree (models/swin.py naming).
+
+    Matches the mmdet fine-tuning recipe: the four output-stage LayerNorms
+    (``out_norm{0..3}``) are NEW parameters with no ImageNet counterpart and
+    keep their template init; the classification ``head``/final ``norm`` are
+    dropped. The qkv layout ((3C, C) with [q;k;v] on the output axis, each
+    head-major) and the patch-merging concat order (x[0::2,0::2],
+    x[1::2,0::2], x[0::2,1::2], x[1::2,1::2]) are identical between the
+    torch impl and ours, so plain (O, I) -> (I, O) transposes suffice.
+    The relative_position_index buffer is recomputed (models/swin.py
+    ``_rel_pos_index``), only the bias TABLE is converted.
+    """
+    src = path if isinstance(path, dict) else _load_torch_file(path)
+    src = {
+        k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        for k, v in src.items()
+    }
+    p = flax.serialization.to_state_dict(params_template)
+    bb = p
+    for k in ("params", "backbone"):  # accept full trees or bare variables
+        if k in bb:
+            bb = bb[k]
+    loaded, missing = [], []
+
+    def put(dst_path, value):
+        node = bb
+        for key in dst_path[:-1]:
+            node = node[key]
+        tmpl = node[dst_path[-1]]
+        if np.shape(value) != tuple(np.shape(tmpl)):
+            raise ValueError(f"{'.'.join(dst_path)}: shape {np.shape(value)} != {np.shape(tmpl)}")
+        node[dst_path[-1]] = np.asarray(value).astype(np.asarray(tmpl).dtype)
+        loaded.append(".".join(dst_path))
+
+    def dense(src_name, dst_path, bias=True):
+        if f"{src_name}.weight" not in src:
+            missing.append(src_name)
+            return
+        put(dst_path + ["kernel"], _linear(src[f"{src_name}.weight"]))
+        if bias and f"{src_name}.bias" in src:
+            put(dst_path + ["bias"], src[f"{src_name}.bias"])
+
+    def norm(src_name, dst_path):
+        if f"{src_name}.weight" not in src:
+            missing.append(src_name)
+            return
+        put(dst_path + ["scale"], src[f"{src_name}.weight"])
+        put(dst_path + ["bias"], src[f"{src_name}.bias"])
+
+    put(["patch_embed", "kernel"], _conv(src["patch_embed.proj.weight"]))
+    put(["patch_embed", "bias"], src["patch_embed.proj.bias"])
+    norm("patch_embed.norm", ["patch_norm"])
+
+    for s, depth in enumerate(depths or _SWIN_DEPTHS[size]):
+        for b in range(depth):
+            t = f"layers.{s}.blocks.{b}"
+            d = f"stage{s}_block{b}"
+            norm(f"{t}.norm1", [d, "norm1"])
+            dense(f"{t}.attn.qkv", [d, "attn", "qkv"])
+            dense(f"{t}.attn.proj", [d, "attn", "proj"])
+            put([d, "attn", "rel_bias_table"], src[f"{t}.attn.relative_position_bias_table"])
+            norm(f"{t}.norm2", [d, "norm2"])
+            dense(f"{t}.mlp.fc1", [d, "mlp_fc1"])
+            dense(f"{t}.mlp.fc2", [d, "mlp_fc2"])
+        if s < 3:
+            norm(f"layers.{s}.downsample.norm", [f"downsample{s}", "norm"])
+            dense(f"layers.{s}.downsample.reduction", [f"downsample{s}", "reduction"], bias=False)
+
+    logger.info("Converted %d Swin tensors from %s (%d unmatched)", len(loaded), path, len(missing))
+    if missing:
+        logger.debug("unmatched: %s", missing)
+    return flax.serialization.from_state_dict(params_template, p)
+
+
 def load_npz_into_params(path: str, params_template):
     """Flat 'a/b/c' keyed npz -> params tree."""
     data = np.load(path)

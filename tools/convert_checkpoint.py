@@ -17,6 +17,11 @@ def main():
     p.add_argument("--config-file", required=True)
     p.add_argument("--src", required=True, help=".pth / .pkl checkpoint")
     p.add_argument("--dst", required=True, help="output orbax directory")
+    p.add_argument(
+        "--swin",
+        action="store_true",
+        help="src is an official Swin ImageNet checkpoint (backbone only)",
+    )
     args = p.parse_args()
 
     import jax
@@ -31,7 +36,12 @@ def main():
     cfg.merge_from_file(args.config_file)
     spec = build_model_spec(cfg)
     module, params = build_module_and_params(cfg, spec)
-    converted = convert_torch_checkpoint(args.src, params)
+    if args.swin:
+        from openset_rcnn_tpu.utils.torch_weights import convert_swin_torch
+
+        converted = convert_swin_torch(args.src, params, size=cfg.MODEL.SWIN.SIZE)
+    else:
+        converted = convert_torch_checkpoint(args.src, params)
     ocp.PyTreeCheckpointer().save(
         os.path.abspath(args.dst),
         {"params": flax.serialization.to_state_dict(converted)},
