@@ -184,3 +184,82 @@ def test_box_head_activations_match(setup):
         method=lambda m, p: m.box_head(p),
     )
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _tlin(src, name, x):
+    return F.linear(x, _t(src, f"{name}.weight"), _t(src, f"{name}.bias"))
+
+
+def test_predictor_heads_activations_match(setup):
+    """bbox_pred/iou_pred (osrcnn_fast_rcnn.py:204-264), PLN encoder/decoder
+    (prototype_learning_network.py:67-73), cls_score (softmax_classifier.py:209)."""
+    module, params, src = setup
+    rng = np.random.RandomState(3)
+    feat = torch.from_numpy(rng.randn(5, 1024).astype(np.float32))
+
+    d_t = _tlin(src, "roi_heads.box_predictor.bbox_pred", feat)
+    iou_t = torch.sigmoid(_tlin(src, "roi_heads.box_predictor.iou_pred", feat))[:, 0]
+    deltas, iou = module.apply(
+        {"params": params}, jnp.asarray(feat.numpy()), method=lambda m, f: m.box_predictor(f)
+    )
+    np.testing.assert_allclose(np.asarray(deltas), d_t.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(iou), iou_t.numpy(), rtol=1e-4, atol=1e-6)
+
+    enc_t = _tlin(src, "roi_heads.dml.encoder", feat)
+    rec_t = _tlin(src, "roi_heads.dml.decoder", enc_t)
+    emb, rec, reps = module.apply(
+        {"params": params}, jnp.asarray(feat.numpy()), method=lambda m, f: m.pln(f)
+    )
+    np.testing.assert_allclose(np.asarray(emb), enc_t.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec), rec_t.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(reps), src["roi_heads.dml.representatives"], rtol=1e-6, atol=0
+    )
+
+    logits_t = _tlin(src, "roi_heads.softmaxcls.cls_score", rec_t)
+    logits = module.apply(
+        {"params": params}, rec, method=lambda m, r: m.classifier(r)
+    )
+    np.testing.assert_allclose(np.asarray(logits), logits_t.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_pln_distance_inference_matches_torch(setup):
+    """Prototype distance verdict (prototype_learning_network.py:189-230):
+    L2-normalized embeddings/prototypes, COS distance, min over reps then
+    classes; compare raw_detections' min_dist/pln_class to torch math."""
+    module, params, src = setup
+    rng = np.random.RandomState(4)
+    B, P, E = 2, 16, 256
+    emb = rng.randn(B, P, E).astype(np.float32)
+    reps = src["roi_heads.dml.representatives"]  # (20, 256)
+
+    # torch oracle
+    x = F.normalize(torch.from_numpy(emb.reshape(-1, E)), dim=1)
+    r = F.normalize(torch.from_numpy(reps), dim=1)
+    dist = 1.0 - x @ r.T  # (BP, 20)
+    want_min = dist.min(dim=1).values.reshape(B, P)
+    want_cls = dist.argmin(dim=1).reshape(B, P)
+
+    from openset_rcnn_tpu.models.roi_heads import raw_detections
+    from openset_rcnn_tpu.ops.box_transforms import Box2BoxTransform
+    from openset_rcnn_tpu.structures import Proposals
+
+    proposals = Proposals(
+        boxes=jnp.asarray(rng.uniform(0, 50, (B, P, 4)).astype(np.float32)),
+        scores=jnp.asarray(rng.uniform(0, 1, (B, P)).astype(np.float32)),
+        valid=jnp.ones((B, P), bool),
+    )
+    raw = raw_detections(
+        proposals,
+        pred_deltas=jnp.zeros((B, P, 4)),
+        pred_iou=jnp.asarray(rng.uniform(0, 1, (B, P)).astype(np.float32)),
+        emb=jnp.asarray(emb),
+        reps=jnp.asarray(reps),
+        known_logits=jnp.zeros((B, P, 21)),
+        image_hw=jnp.asarray([[64.0, 64.0]] * B),
+        transform=Box2BoxTransform(),
+        num_known_classes=20,
+        reps_per_class=1,
+    )
+    np.testing.assert_allclose(np.asarray(raw.min_dist), want_min.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(raw.pln_class), want_cls.numpy())
