@@ -1,0 +1,51 @@
+"""jax.export round-trip of the fused serving cascade: serialize with baked
+weights, deserialize in-process, and check outputs match the live jit."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def test_export_serving_roundtrip(tmp_path):
+    from jax import export as jexport
+
+    from export_serving import build_serving_fn
+    from openset_rcnn_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 81
+    cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES = 20
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
+    cfg.OPENDET_BENCHMARK = True
+    cfg.TPU.TEST_BUCKET = (128, 160)
+    cfg.freeze()
+
+    infer, _ = build_serving_fn(cfg)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.uniform(0, 255, (2, 128, 160, 3)).astype(np.float32))
+    hw = jnp.asarray([[120.0, 160.0], [128.0, 144.0]], jnp.float32)
+
+    live = infer(images, hw)
+    fn = infer._cache[(128, 160)]
+    params = infer.params
+    wrapped = jax.jit(lambda im, ihw: fn(params, im, ihw))
+    blob = jexport.export(wrapped)(images, hw).serialize()
+    assert len(blob) > 1000
+
+    reloaded = jexport.deserialize(blob)
+    out = reloaded.call(images, hw)
+    # The deserialized artifact recompiles from StableHLO, so fusion order
+    # (and thus float rounding) can differ at the last ulp — compare with a
+    # small tolerance; int/bool outputs must survive exactly.
+    np.testing.assert_allclose(
+        np.asarray(out.boxes), np.asarray(live.boxes), rtol=1e-4, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scores), np.asarray(live.scores), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(out.classes), np.asarray(live.classes))
+    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(live.valid))

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Export the fused serving cascade as a portable StableHLO artifact.
+
+TPU-native deployment path the reference has no analogue for (its serving
+story is ``train.py --eval-only`` on a live torch process): ``jax.export``
+serializes the jitted forward+cascade (weights baked in as constants) so a
+serving binary can load and run it with no Python model code:
+
+    python tools/export_serving.py --config-file configs/... \
+        --batch 8 --out serving.bin [MODEL.WEIGHTS ckpt ...]
+
+    # consumer side
+    from jax import export
+    fn = export.deserialize(open("serving.bin", "rb").read()).call
+    dets = fn(images_f32, image_hw)   # padded ServeDetections pytree
+
+The exported artifact targets the platform it is exported on (TPU under
+axon; pass --platform cpu to cross-export a CPU-runnable artifact for
+testing). Round-trip is covered by tests/test_export_serving.py.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_serving_fn(cfg, params_override=None):
+    """(cfg[, params]) -> (jitted fn(images, image_hw) -> ServeDetections,
+    example args). Shared by the CLI and the round-trip test."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    from openset_rcnn_tpu.engine.checkpoint import Checkpointer
+    from openset_rcnn_tpu.engine.optimizer import build_optimizer
+    from openset_rcnn_tpu.engine.train_loop import build_model_spec, build_module_and_params
+    from openset_rcnn_tpu.engine.train_state import create_train_state
+    from openset_rcnn_tpu.evaluation.postprocess import PostprocessConfig
+    from openset_rcnn_tpu.evaluation.testing import CompiledInference
+    from openset_rcnn_tpu.models.serving import ServeDetections
+
+    try:
+        jexport.register_namedtuple_serialization(
+            ServeDetections, serialized_name="openset_rcnn_tpu.ServeDetections"
+        )
+    except ValueError:
+        pass  # already registered (repeat calls in one process)
+
+    spec = build_model_spec(cfg)
+    module, params = build_module_and_params(cfg, spec)
+    if params_override is not None:
+        params = params_override
+    elif cfg.MODEL.WEIGHTS:
+        tx, _ = build_optimizer(cfg, params)
+        state = create_train_state(params, tx)
+        state, _ = Checkpointer(cfg.OUTPUT_DIR).resume_or_load(
+            state, cfg.MODEL.WEIGHTS, resume=False
+        )
+        params = state.params
+
+    class_id_table = None
+    if not cfg.OPENDET_BENCHMARK:
+        from openset_rcnn_tpu.data.graspnet_meta import GRASPNET_KNOWN_IDS, graspnet_metadata
+
+        contig = graspnet_metadata()["thing_dataset_id_to_contiguous_id"]
+        class_id_table = np.asarray(sorted(contig[i] for i in GRASPNET_KNOWN_IDS))
+    post_cfg = PostprocessConfig.from_cfg(cfg, cfg.OPENDET_BENCHMARK, class_id_table)
+    infer = CompiledInference(module, params, spec, post_cfg=post_cfg)
+    return infer, post_cfg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--out", required=True)
+    p.add_argument("--platform", default="", help="export platform override (e.g. cpu)")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from openset_rcnn_tpu.config import get_default_cfg
+    from openset_rcnn_tpu.data import register_builtin_datasets
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    register_builtin_datasets()
+
+    infer, _ = build_serving_fn(cfg)
+    bh, bw = cfg.TPU.TEST_BUCKET
+    images = jnp.zeros((args.batch, bh, bw, 3), jnp.float32)
+    hw = jnp.zeros((args.batch, 2), jnp.float32)
+
+    # CompiledInference.__call__ closes over params; export the cached
+    # jitted callable for the bucket shape.
+    infer(images, hw)  # populate cache / compile
+    fn = infer._cache[(bh, bw)]
+    params = infer.params
+    wrapped = jax.jit(lambda im, ihw: fn(params, im, ihw))
+    platforms = [args.platform] if args.platform else None
+    exported = jexport.export(wrapped, platforms=platforms)(images, hw)
+    data = exported.serialize()
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(
+        f"wrote {args.out} ({len(data) / 1e6:.1f} MB, platforms={exported.platforms}, "
+        f"input ({args.batch}, {bh}, {bw}, 3))"
+    )
+
+
+if __name__ == "__main__":
+    main()
