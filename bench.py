@@ -64,7 +64,13 @@ def main():
     anchors, level_sizes = compute_anchors(spec, (H, W))
     tx, sched = build_optimizer(cfg, params)
     state = create_train_state(params, tx)
-    step_fn = jax.jit(make_train_step(module, tx, spec, anchors, level_sizes, sched))
+    # Donate the state like the engine does (train_loop.py): without donation
+    # XLA emits a pass-through %copy for every frozen/pass-through tensor each
+    # step (~5 ms/step measured).
+    step_fn = jax.jit(
+        make_train_step(module, tx, spec, anchors, level_sizes, sched),
+        donate_argnums=0,
+    )
 
     rng = np.random.RandomState(0)
     G = 100

@@ -204,11 +204,13 @@ class OpensetRCNNModule(nn.Module):
                 depth=self.spec.resnet_depth, compute_dtype=dtype, remat=self.spec.remat
             )
             self.fpn = FPN(out_channels=256, compute_dtype=dtype)
+        head_dt = dtype if dtype != jnp.float32 else None
         self.rpn_head = ClsFreeRPNHead(
             conv_dim=256, num_anchors=num_anchors,
             delta_bias_init=self.spec.rpn_delta_bias_init,
+            compute_dtype=head_dt,
         )
-        self.box_head = BoxHead(fc_dim=self.spec.fc_dim)
+        self.box_head = BoxHead(fc_dim=self.spec.fc_dim, compute_dtype=head_dt)
         self.box_predictor = BoxIouPredictor()
         self.pln = PLNHead(
             feature_dim=self.spec.fc_dim,

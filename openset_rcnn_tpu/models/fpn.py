@@ -25,8 +25,13 @@ class FPN(nn.Module):
         C = self.out_channels
 
         init = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")  # xavier
+        # explicit dtype: flax otherwise promotes activations back to the
+        # f32 param dtype, silently undoing mixed precision
+        dt = self.compute_dtype if self.compute_dtype != jnp.float32 else None
         laterals = [
-            nn.Conv(C, (1, 1), kernel_init=init, name=f"lateral_{f}")(x.astype(self.compute_dtype))
+            nn.Conv(C, (1, 1), kernel_init=init, name=f"lateral_{f}", dtype=dt)(
+                x.astype(self.compute_dtype)
+            )
             for f, x in zip(self.in_features, xs)
         ]
 
@@ -41,7 +46,8 @@ class FPN(nn.Module):
         for f, td in zip(self.in_features, tds):
             p_name = f.replace("res", "p")
             outs[p_name] = nn.Conv(
-                C, (3, 3), padding=((1, 1), (1, 1)), kernel_init=init, name=f"output_{f}"
+                C, (3, 3), padding=((1, 1), (1, 1)), kernel_init=init,
+                name=f"output_{f}", dtype=dt,
             )(td)
 
         # P6: stride-2 subsample of P5 (d2 LastLevelMaxPool, kernel 1).

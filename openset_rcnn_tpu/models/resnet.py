@@ -45,7 +45,9 @@ class FrozenBN(nn.Module):
         return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 
-def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
+def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None, dtype=None):
+    # NOTE: without an explicit ``dtype``, flax promotes the input to the
+    # param dtype (f32) — silently undoing any bf16 cast of the activations.
     pad = (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -55,6 +57,7 @@ def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
         use_bias=False,
         kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
         name=name,
+        dtype=dtype,
     )
 
 
@@ -64,23 +67,25 @@ class BottleneckBlock(nn.Module):
     stride: int = 1
     stride_in_1x1: bool = True
     has_shortcut: bool = False
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         s1 = self.stride if self.stride_in_1x1 else 1
         s3 = 1 if self.stride_in_1x1 else self.stride
+        dt = self.compute_dtype
 
-        out = _conv(self.bottleneck_channels, 1, s1, name="conv1")(x)
+        out = _conv(self.bottleneck_channels, 1, s1, name="conv1", dtype=dt)(x)
         out = FrozenBN(self.bottleneck_channels, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.bottleneck_channels, 3, s3, name="conv2")(out)
+        out = _conv(self.bottleneck_channels, 3, s3, name="conv2", dtype=dt)(out)
         out = FrozenBN(self.bottleneck_channels, name="bn2")(out)
         out = nn.relu(out)
-        out = _conv(self.out_channels, 1, 1, name="conv3")(out)
+        out = _conv(self.out_channels, 1, 1, name="conv3", dtype=dt)(out)
         out = FrozenBN(self.out_channels, name="bn3")(out)
 
         if self.has_shortcut:
-            sc = _conv(self.out_channels, 1, self.stride, name="shortcut")(x)
+            sc = _conv(self.out_channels, 1, self.stride, name="shortcut", dtype=dt)(x)
             sc = FrozenBN(self.out_channels, name="shortcut_bn")(sc)
         else:
             sc = x
@@ -101,8 +106,9 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.compute_dtype)
+        dt = self.compute_dtype if self.compute_dtype != jnp.float32 else None
         # Stem: 7x7/2 conv + 3x3/2 maxpool (torch padding 3 and 1).
-        x = _conv(self.stem_channels, 7, 2, name="stem_conv")(x)
+        x = _conv(self.stem_channels, 7, 2, name="stem_conv", dtype=dt)(x)
         x = FrozenBN(self.stem_channels, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -122,6 +128,7 @@ class ResNet(nn.Module):
                     stride=stride,
                     stride_in_1x1=self.stride_in_1x1,
                     has_shortcut=(b == 0),
+                    compute_dtype=dt,
                     name=f"{stage_name}_block{b}",
                 )(x)
             if stage_name in self.out_features:

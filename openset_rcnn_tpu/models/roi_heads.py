@@ -20,7 +20,7 @@ masks; padded rows contribute zero loss.
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -43,17 +43,29 @@ _fc_init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")  # caffe2 
 
 
 class BoxHead(nn.Module):
-    """FastRCNNConvFCHead equivalent: flatten + 2x FC-1024 + ReLU."""
+    """FastRCNNConvFCHead equivalent: flatten + 2x FC-1024 + ReLU.
+
+    ``compute_dtype`` runs the FC matmuls in bf16 (weights stay f32); the
+    returned features are always f32 for the numerics-sensitive heads.
+    """
 
     fc_dim: int = 1024
     num_fc: int = 2
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.reshape(x.shape[:-3] + (-1,))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         for i in range(self.num_fc):
-            x = nn.relu(nn.Dense(self.fc_dim, kernel_init=_fc_init, name=f"fc{i + 1}")(x))
-        return x
+            x = nn.relu(
+                nn.Dense(
+                    self.fc_dim, kernel_init=_fc_init, name=f"fc{i + 1}",
+                    dtype=self.compute_dtype,
+                )(x)
+            )
+        return x.astype(jnp.float32)
 
 
 class BoxIouPredictor(nn.Module):

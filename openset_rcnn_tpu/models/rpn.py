@@ -22,7 +22,7 @@ and "filtering" is masking.
 """
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -53,27 +53,38 @@ class ClsFreeRPNHead(nn.Module):
     num_anchors: int = 1
     box_dim: int = 4
     delta_bias_init: float = 0.0
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
         init = nn.initializers.normal(0.01)
-        conv = nn.Conv(self.conv_dim, (3, 3), padding=((1, 1), (1, 1)), kernel_init=init, name="conv")
+        dt = self.compute_dtype
+        conv = nn.Conv(
+            self.conv_dim, (3, 3), padding=((1, 1), (1, 1)), kernel_init=init,
+            name="conv", dtype=dt,
+        )
         delta_conv = nn.Conv(
             self.num_anchors * self.box_dim,
             (1, 1),
             kernel_init=init,
             bias_init=nn.initializers.constant(self.delta_bias_init),
             name="anchor_deltas",
+            dtype=dt,
         )
-        ctr_conv = nn.Conv(self.num_anchors, (1, 1), kernel_init=init, name="centerness")
+        ctr_conv = nn.Conv(self.num_anchors, (1, 1), kernel_init=init, name="centerness", dtype=dt)
 
         deltas, ctrs = [], []
         for x in feats:
+            if dt is not None:
+                x = x.astype(dt)
             t = nn.relu(conv(x))
             # L2-normalize over channels before the prediction convs (ref :159).
-            t = t * jax.lax.rsqrt(jnp.sum(t * t, axis=-1, keepdims=True) + 1e-12)
+            # Accumulate the squared norm in f32 (256-term bf16 sums lose
+            # mantissa), apply the scale in the compute dtype.
+            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1, keepdims=True)
+            t = t * jax.lax.rsqrt(sq + 1e-12).astype(t.dtype)
             d = delta_conv(t)  # (B, H, W, A*4)
-            c = jax.nn.sigmoid(ctr_conv(t))  # (B, H, W, A)
+            c = jax.nn.sigmoid(ctr_conv(t).astype(jnp.float32))  # (B, H, W, A)
             B = d.shape[0]
             deltas.append(d.reshape(B, -1, self.box_dim).astype(jnp.float32))
             ctrs.append(c.reshape(B, -1).astype(jnp.float32))
@@ -111,7 +122,7 @@ def _match_one_image(anchors, gt_boxes, gt_valid):
 def _sample_one_image(
     anchors, gt_boxes, max_iou, matched_idx, rescued, key,
     batch_size_per_image, positive_fraction, objectness_positive_fraction,
-    reg_thresholds, obj_thresholds,
+    reg_thresholds, obj_thresholds, matched_boxes=None,
 ):
     k_reg, k_obj = jax.random.split(key)
     reg_raw = _bin_labels(max_iou, rescued, reg_thresholds)
@@ -120,7 +131,10 @@ def _sample_one_image(
     reg_labels = subsample_labels(reg_raw, batch_size_per_image, positive_fraction, k_reg)
     obj_labels = subsample_labels(obj_raw, batch_size_per_image, objectness_positive_fraction, k_obj)
 
-    matched_boxes = gt_boxes[matched_idx]  # (R, 4); shared by both matchers
+    if matched_boxes is None:
+        # XLA path: gather the matched GT box per anchor. The Pallas kernel
+        # emits these directly (the (R, 4) gather costs ~4 ms/step at scale).
+        matched_boxes = gt_boxes[matched_idx]  # (R, 4); shared by both matchers
     gt_ctr = centerness_targets(anchors, matched_boxes, obj_labels)
     return reg_labels, matched_boxes, obj_labels, gt_ctr
 
@@ -144,26 +158,41 @@ def rpn_targets(
         # auto: single-chip TPU only (partitioning a pallas_call across a
         # sharded batch is not validated; multi-chip runs use the XLA path)
         use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
+    kernel_boxes = None
     if use_pallas:
         from ..ops.pallas.iou_match_kernel import iou_match_pallas
 
-        max_iou, matched_idx, rescued = iou_match_pallas(anchors, gt.boxes, gt.valid)
+        max_iou, matched_idx, rescued, kernel_boxes = iou_match_pallas(
+            anchors, gt.boxes, gt.valid
+        )
     else:
         max_iou, matched_idx, rescued = jax.vmap(
             lambda b, v: _match_one_image(anchors, b, v)
         )(gt.boxes, gt.valid)
 
     keys = jax.random.split(key, B)
-    fn = jax.vmap(
-        lambda b, mi, idx, rc, k: _sample_one_image(
-            anchors, b, mi, idx, rc, k,
-            batch_size_per_image, positive_fraction, objectness_positive_fraction,
-            reg_thresholds, obj_thresholds,
+    if kernel_boxes is None:
+        fn = jax.vmap(
+            lambda b, mi, idx, rc, k: _sample_one_image(
+                anchors, b, mi, idx, rc, k,
+                batch_size_per_image, positive_fraction, objectness_positive_fraction,
+                reg_thresholds, obj_thresholds,
+            )
         )
-    )
-    reg_labels, matched_boxes, obj_labels, gt_ctr = fn(
-        gt.boxes, max_iou, matched_idx, rescued, keys
-    )
+        reg_labels, matched_boxes, obj_labels, gt_ctr = fn(
+            gt.boxes, max_iou, matched_idx, rescued, keys
+        )
+    else:
+        fn = jax.vmap(
+            lambda b, mi, idx, rc, k, mb: _sample_one_image(
+                anchors, b, mi, idx, rc, k,
+                batch_size_per_image, positive_fraction, objectness_positive_fraction,
+                reg_thresholds, obj_thresholds, matched_boxes=mb,
+            )
+        )
+        reg_labels, matched_boxes, obj_labels, gt_ctr = fn(
+            gt.boxes, max_iou, matched_idx, rescued, keys, kernel_boxes
+        )
     return RPNTargets(reg_labels, matched_boxes, obj_labels, gt_ctr)
 
 

@@ -42,7 +42,10 @@ def build():
     anchors, level_sizes = compute_anchors(spec, (H, W))
     tx, sched = build_optimizer(cfg, params)
     state = create_train_state(params, tx)
-    step_fn = jax.jit(make_train_step(module, tx, spec, anchors, level_sizes, sched))
+    step_fn = jax.jit(
+        make_train_step(module, tx, spec, anchors, level_sizes, sched),
+        donate_argnums=0,
+    )
 
     rng = np.random.RandomState(0)
     G = 100

@@ -17,7 +17,7 @@ def test_iou_match_matches_xla(rng):
     valid = rng.rand(B, G) > 0.3
     valid[1, :] = False  # empty-GT image
 
-    max_iou, idx, resc = iou_match_pallas(
+    max_iou, idx, resc, mbox = iou_match_pallas(
         jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(valid), interpret=True
     )
     for b in range(B):
@@ -25,6 +25,10 @@ def test_iou_match_matches_xla(rng):
         masked = np.where(valid[b][:, None], np.asarray(iou), -1.0)
         np.testing.assert_allclose(np.asarray(max_iou[b]), masked.max(0), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(idx[b]), masked.argmax(0))
+        # matched boxes must equal the XLA path's gt_boxes[argmax] gather
+        np.testing.assert_allclose(
+            np.asarray(mbox[b]), gt[b][masked.argmax(0)], atol=1e-6
+        )
         # rescue semantics vs the XLA matcher
         res = match(iou, jnp.asarray(valid[b]), [0.3, 0.7], [0, -1, 1], True)
         want_rescued = np.asarray(res.labels) == 1
