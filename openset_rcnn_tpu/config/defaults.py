@@ -195,6 +195,7 @@ def get_default_cfg() -> CN:
                                            #  -1: d2 adaptive ceil(roi/7) (parity)
     _C.TPU.ROI_ALIGN_IMPL = "auto"         # auto|gather|pallas (auto: pallas on 1-chip TPU)
     _C.TPU.ROI_ALIGN_BWD = "pallas"        # pallas (window RMW kernel) | xla
+    _C.TPU.RPN_MATCHER = "auto"            # auto|pallas|xla (fused IoU+matcher kernel)
                                            #  (scatter-add); pallas impl only
     _C.TPU.MAX_DETECTIONS_DEVICE = 100     # fused on-device inference cap
     _C.TPU.EVAL_BATCH_SIZE = 8             # eval images per device dispatch

@@ -16,14 +16,23 @@ def generate_synthetic_dataset(
     num_classes: int = 3,
     max_objects: int = 4,
     seed: int = 0,
+    color_seed: int | None = None,
 ) -> List[dict]:
     """Write PNGs of colored rectangles; return dataset dicts.
 
     Each class gets a distinct color so the detection task is learnable.
+    ``color_seed`` pins the class->color map independently of ``seed`` so a
+    train and test split drawn with different seeds depict the same classes
+    (numpy fills row-major, so a split with MORE classes and the same
+    color_seed keeps the shared prefix of colors identical).
     """
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(seed)
-    colors = (rng.randint(60, 255, (num_classes, 3))).tolist()
+    colors = (
+        np.random.RandomState(color_seed).randint(60, 255, (num_classes, 3)).tolist()
+        if color_seed is not None
+        else rng.randint(60, 255, (num_classes, 3)).tolist()
+    )
     h, w = image_hw
     records = []
     for i in range(num_images):

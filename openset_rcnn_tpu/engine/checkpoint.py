@@ -48,10 +48,20 @@ class Checkpointer:
         return path if os.path.exists(path) else None
 
     def restore(self, template_state, path: Optional[str] = None):
-        """Restore a full TrainState (same structure as template_state)."""
+        """Restore a full TrainState (same structure as template_state).
+
+        Arrays are materialized as host numpy: the checkpoint may have been
+        written on a different backend/topology (e.g. saved on the TPU chip,
+        restored on CPU), where orbax's default jax.Array deserialization
+        demands the original shardings and fails.
+        """
         path = path or self.latest_path()
         assert path, "no checkpoint to restore"
-        restored = self._ckptr.restore(path)
+        template = jax.tree_util.tree_map(
+            np.asarray, flax.serialization.to_state_dict(template_state)
+        )
+        restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+        restored = self._ckptr.restore(path, item=template, restore_args=restore_args)
         state = flax.serialization.from_state_dict(template_state, restored)
         logger.info("Restored checkpoint %s (step=%d)", path, int(state.step))
         return state

@@ -101,9 +101,11 @@ class PostprocessConfig:
             unknown_score_thresh=rh.UNKNOWN_SCORE_THRESH,
             unknown_nms_thresh=rh.UNKNOWN_NMS_THRESH,
             unknown_topk=rh.UNKNOWN_TOPK,
-            # OpenDet benchmark hardcodes class 80 for unknown
-            # (prototype_learning_network.py:219-223); GraspNet uses 1000.
-            unknown_id=80 if opendet_benchmark else rh.UNKNOWN_ID,
+            # OpenDet benchmark: unknown = the last contiguous class id
+            # (80 for the 81-class VOC-COCO set; the reference hardcodes 80
+            # because it only ever runs 81 classes,
+            # prototype_learning_network.py:219-223). GraspNet uses 1000.
+            unknown_id=rh.NUM_CLASSES - 1 if opendet_benchmark else rh.UNKNOWN_ID,
             class_id_table=class_id_table,
         )
 

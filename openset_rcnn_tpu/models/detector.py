@@ -103,6 +103,7 @@ class ModelSpec(NamedTuple):
     roi_align_impl: str
     roi_align_bwd: str = "pallas"
     swin_size: str = "T"
+    rpn_matcher: str = "auto"  # auto|pallas|xla (TPU.RPN_MATCHER)
 
     @staticmethod
     def from_cfg(cfg, id_map: Sequence[int]) -> "ModelSpec":
@@ -158,6 +159,7 @@ class ModelSpec(NamedTuple):
             swin_size=m.SWIN.SIZE,
             roi_align_impl=cfg.TPU.get("ROI_ALIGN_IMPL", "auto"),
             roi_align_bwd=cfg.TPU.get("ROI_ALIGN_BWD", "pallas"),
+            rpn_matcher=cfg.TPU.get("RPN_MATCHER", "auto"),
         )
 
 
@@ -326,6 +328,7 @@ def training_losses_and_stats(
         objectness_positive_fraction=spec.rpn_obj_positive_fraction,
         reg_thresholds=spec.rpn_reg_thresholds,
         obj_thresholds=spec.rpn_obj_thresholds,
+        use_pallas={"auto": None, "pallas": True, "xla": False}[spec.rpn_matcher],
     )
     losses = rpn_losses(
         anchors, pred_deltas, pred_ctr, targets, linear_tf,

@@ -112,3 +112,44 @@ def test_inference_shapes(compiled, rng):
     bx = np.asarray(raw.boxes)[valid]
     assert (bx[:, 0] >= 0).all() and (bx[:, 2] <= W).all()
     assert (bx[:, 1] >= 0).all() and (bx[:, 3] <= H).all()
+
+
+def test_bf16_compute_dtype(compiled, rng):
+    """TPU.DTYPE=bfloat16 keeps params f32, yields finite losses/grads close
+    to the f32 run, and actually lowers the trunk matmuls to bf16."""
+    spec_f32, module_f32, params, grad_step_f32, _ = compiled
+    cfg = tiny_cfg()
+    cfg.TPU.DTYPE = "bfloat16"
+    spec = ModelSpec.from_cfg(cfg, opendet_id_map(81, 20))
+    module = OpensetRCNNModule(spec=spec)
+    anchors_np, level_sizes = compute_anchors(spec, (H, W))
+    anchors = jnp.asarray(anchors_np)
+
+    # identical init: the bf16 spec must not change param shapes/dtypes
+    p2 = jax.jit(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, 3)))["params"]
+    )()
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a.dtype == b.dtype == jnp.float32, params, p2)
+    )
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a.shape == b.shape, params, p2)
+    )
+
+    def loss_fn(p, batch, rng_):
+        losses = training_losses(module, p, batch, rng_, spec, anchors, level_sizes)
+        return sum(losses.values()), losses
+
+    grad_step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    batch = make_batch(rng)
+    (tot16, l16), g16 = grad_step(params, batch, jax.random.PRNGKey(1))
+    (tot32, l32), _ = grad_step_f32(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(tot16))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(g16))
+    # bf16 rounding moves losses a little, not a lot
+    for k in l32:
+        a, b = float(l16[k]), float(l32[k])
+        assert abs(a - b) <= 0.15 * max(1.0, abs(b)), (k, a, b)
+    # the backbone conv really runs in bf16 (dot dtype in the jaxpr)
+    jaxpr = jax.make_jaxpr(lambda p, b_, r: loss_fn(p, b_, r)[0])(params, batch, jax.random.PRNGKey(1))
+    assert "bf16" in str(jaxpr), "no bf16 op found in the traced train step"

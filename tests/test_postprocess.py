@@ -85,3 +85,17 @@ def test_class_id_table_applied():
     cfg = PostprocessConfig(unk_thr=0.5, class_id_table=table, unknown_id=1000)
     out = postprocess_image(boxes, obj, md, pc, probs, valid, (400, 400), (400, 400), cfg)
     assert (out.classes == 7).all()  # known index 0 -> contiguous id 7
+
+
+def test_from_cfg_unknown_id_tracks_num_classes():
+    """OpenDet unknown id = NUM_CLASSES-1 (the reference hardcodes 80 only
+    because it always runs 81 classes, prototype_learning_network.py:219-223);
+    a smaller class set (e.g. synthetic validation) must map its last class."""
+    from openset_rcnn_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    assert PostprocessConfig.from_cfg(cfg, True).unknown_id == 3
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 81
+    assert PostprocessConfig.from_cfg(cfg, True).unknown_id == 80
+    assert PostprocessConfig.from_cfg(cfg, False).unknown_id == 1000

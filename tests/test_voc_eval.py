@@ -84,3 +84,23 @@ def test_wi_counts_unknown_overlap():
     # recall stays 0 -> closest index is the only det: WI = (1/1) * 100... but
     # mean over classes with dets: only cat -> fp=1, tp_fp=1
     assert res["WI"] == 100.0
+
+
+def test_unknown_detections_by_last_class_id_are_scored():
+    """Detections arriving with class id == num_classes-1 (the OpenDet
+    unknown id, PostprocessConfig.from_cfg) must score as the 'unknown'
+    class — a det id outside the class-name table is silently unscored,
+    which is exactly the failure mode of hardcoding 80 on small class sets."""
+    ev = make_evaluator()
+    # perfect hits on both unknown GT boxes, delivered via process() with
+    # the contiguous unknown id (2 for this 3-name table)
+    ev.process("img1", shift([[50, 50, 60, 60]]), np.asarray([0.9]), np.asarray([2]))
+    ev.process("img2", shift([[30, 30, 40, 40]]), np.asarray([0.8]), np.asarray([2]))
+    res = ev.evaluate()
+    assert res["R@U"] == 100.0
+    assert res["AP@U"] == 100.0
+    # a det with an out-of-table id must not crash and must not score
+    ev2 = make_evaluator()
+    ev2.process("img1", shift([[50, 50, 60, 60]]), np.asarray([0.9]), np.asarray([80]))
+    res2 = ev2.evaluate()
+    assert res2["AP@U"] == 0.0
