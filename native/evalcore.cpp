@@ -57,6 +57,94 @@ void greedy_match(const double* ious, const int32_t* gt_ignore,
   }
 }
 
+// Batched per-category matching: the full (image x area) loop of the
+// open-set evaluator in one call. For every image group and every area
+// range it (a) derives GT ignore flags from crowd/area, (b) stable-sorts
+// GT ignore-last (pycocotools semantics), (c) runs the greedy matcher for
+// all thresholds, and (d) emits the final detection ignore flags
+// (matched-to-ignored-GT OR unmatched-and-out-of-area).
+//
+// Flat layouts (group i = one image's detections of one category):
+//   ious:   at ioff[i], row-major D[i] x G[i], ORIGINAL GT order
+//   d_area: at doff[i], length D[i] (detections pre-sorted by score desc)
+//   g_area, g_crowd: at goff[i], length G[i]
+//   matched/ignore out: (A, T, sumD) at a*T*sumD + t*sumD + doff[i] + d
+//   n_gt out: (A, n_img) non-ignored GT counts
+void match_category(const double* ious, const double* d_area,
+                    const double* g_area, const int32_t* g_crowd,
+                    const double* area_lo, const double* area_hi, int64_t A,
+                    const double* iou_thrs, int64_t T,
+                    const int64_t* D, const int64_t* G,
+                    const int64_t* ioff, const int64_t* goff,
+                    const int64_t* doff, int64_t n_img, int64_t sum_d,
+                    uint8_t* out_matched, uint8_t* out_ignore,
+                    int32_t* out_ngt) {
+  int64_t gmax = 0;
+  for (int64_t i = 0; i < n_img; ++i)
+    if (G[i] > gmax) gmax = G[i];
+  int64_t* order = new int64_t[gmax > 0 ? gmax : 1];
+  uint8_t* g_ig = new uint8_t[gmax > 0 ? gmax : 1];
+  uint8_t* taken = new uint8_t[gmax > 0 ? gmax : 1];
+
+  for (int64_t i = 0; i < n_img; ++i) {
+    const int64_t Di = D[i], Gi = G[i];
+    const double* iou_i = ious + ioff[i];
+    const double* ga = g_area + goff[i];
+    const int32_t* gc = g_crowd + goff[i];
+    const double* da = d_area + doff[i];
+    for (int64_t a = 0; a < A; ++a) {
+      const double lo = area_lo[a], hi = area_hi[a];
+      // ignore flags + stable ignore-last order (two passes = stable)
+      int64_t n_keep = 0, pos = 0;
+      for (int64_t g = 0; g < Gi; ++g) {
+        g_ig[g] = (gc[g] > 0) || (ga[g] < lo) || (ga[g] > hi);
+        if (!g_ig[g]) ++n_keep;
+      }
+      for (int64_t g = 0; g < Gi; ++g)
+        if (!g_ig[g]) order[pos++] = g;
+      for (int64_t g = 0; g < Gi; ++g)
+        if (g_ig[g]) order[pos++] = g;
+      out_ngt[a * n_img + i] = (int32_t)n_keep;
+
+      uint8_t* m_base = out_matched + a * T * sum_d;
+      uint8_t* i_base = out_ignore + a * T * sum_d;
+      for (int64_t t = 0; t < T; ++t) {
+        uint8_t* mrow = m_base + t * sum_d + doff[i];
+        uint8_t* irow = i_base + t * sum_d + doff[i];
+        const double thr =
+            iou_thrs[t] < (1.0 - 1e-10) ? iou_thrs[t] : (1.0 - 1e-10);
+        if (Gi > 0 && Di > 0) {
+          std::memset(taken, 0, Gi);
+          for (int64_t d = 0; d < Di; ++d) {
+            double best = thr;
+            int64_t m = -1;  // position in sorted order
+            const double* row = iou_i + d * Gi;
+            for (int64_t gg = 0; gg < Gi; ++gg) {
+              const int64_t g = order[gg];
+              const uint8_t ig = gg < n_keep ? 0 : 1;  // sorted ignore flag
+              if (taken[gg] && !gc[g]) continue;
+              if (m > -1 && (m < n_keep) && ig) break;
+              if (row[g] < best) continue;
+              best = row[g];
+              m = gg;
+            }
+            if (m == -1) continue;
+            mrow[d] = 1;
+            irow[d] = m < n_keep ? 0 : 1;
+            taken[m] = 1;
+          }
+        }
+        // unmatched + out-of-area detections are ignored
+        for (int64_t d = 0; d < Di; ++d)
+          if (!mrow[d] && (da[d] < lo || da[d] > hi)) irow[d] = 1;
+      }
+    }
+  }
+  delete[] order;
+  delete[] g_ig;
+  delete[] taken;
+}
+
 // Pairwise IoU of xywh boxes (COCO convention, crowd GT uses det area as
 // union). dt: D x 4, gt: G x 4, out: D x G.
 void bbox_iou_xywh(const double* dt, const double* gt, const int32_t* iscrowd,

@@ -24,7 +24,11 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO_PATH):
+    _cpp = os.path.join(_NATIVE_DIR, "evalcore.cpp")
+    stale = os.path.exists(_SO_PATH) and os.path.exists(_cpp) and (
+        os.path.getmtime(_cpp) > os.path.getmtime(_SO_PATH)
+    )
+    if not os.path.exists(_SO_PATH) or stale:
         try:
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -58,8 +62,98 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.nms_sorted.restype = ctypes.c_int64
+    if hasattr(lib, "match_category"):
+        P = ctypes.POINTER
+        lib.match_category.argtypes = [
+            P(ctypes.c_double),  # ious
+            P(ctypes.c_double),  # d_area
+            P(ctypes.c_double),  # g_area
+            P(ctypes.c_int32),   # g_crowd
+            P(ctypes.c_double),  # area_lo
+            P(ctypes.c_double),  # area_hi
+            ctypes.c_int64,      # A
+            P(ctypes.c_double),  # iou_thrs
+            ctypes.c_int64,      # T
+            P(ctypes.c_int64),   # D
+            P(ctypes.c_int64),   # G
+            P(ctypes.c_int64),   # ioff
+            P(ctypes.c_int64),   # goff
+            P(ctypes.c_int64),   # doff
+            ctypes.c_int64,      # n_img
+            ctypes.c_int64,      # sum_d
+            P(ctypes.c_uint8),   # out matched
+            P(ctypes.c_uint8),   # out ignore
+            P(ctypes.c_int32),   # out n_gt
+        ]
+        lib.match_category.restype = None
     _lib = lib
     return _lib
+
+
+def match_category_native(
+    ious_flat: np.ndarray,
+    d_area: np.ndarray,
+    g_area: np.ndarray,
+    g_crowd: np.ndarray,
+    D: np.ndarray,
+    G: np.ndarray,
+    area_ranges: np.ndarray,  # (A, 2)
+    iou_thrs: np.ndarray,
+):
+    """One call for a whole category: every (image, area) matching.
+
+    Returns (matched (A, T, sumD) bool, ignore (A, T, sumD) bool,
+    n_gt (A, n_img) int32). Group i's detections occupy columns
+    [doff[i], doff[i]+D[i]) where doff = cumsum-exclusive of D.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "match_category"):
+        raise RuntimeError("evalcore match_category not available")
+    P = ctypes.POINTER
+    D = np.ascontiguousarray(D, np.int64)
+    G = np.ascontiguousarray(G, np.int64)
+    n_img = len(D)
+    doff = np.zeros(n_img, np.int64)
+    goff = np.zeros(n_img, np.int64)
+    ioff = np.zeros(n_img, np.int64)
+    np.cumsum(D[:-1], out=doff[1:])
+    np.cumsum(G[:-1], out=goff[1:])
+    np.cumsum((D * G)[:-1], out=ioff[1:])
+    sum_d = int(D.sum())
+    A = len(area_ranges)
+    T = len(iou_thrs)
+    ious_flat = np.ascontiguousarray(ious_flat, np.float64)
+    d_area = np.ascontiguousarray(d_area, np.float64)
+    g_area = np.ascontiguousarray(g_area, np.float64)
+    g_crowd = np.ascontiguousarray(g_crowd, np.int32)
+    lo = np.ascontiguousarray(area_ranges[:, 0], np.float64)
+    hi = np.ascontiguousarray(area_ranges[:, 1], np.float64)
+    iou_thrs = np.ascontiguousarray(iou_thrs, np.float64)
+    matched = np.zeros((A, T, sum_d), np.uint8)
+    ignore = np.zeros((A, T, sum_d), np.uint8)
+    n_gt = np.zeros((A, n_img), np.int32)
+    lib.match_category(
+        ious_flat.ctypes.data_as(P(ctypes.c_double)),
+        d_area.ctypes.data_as(P(ctypes.c_double)),
+        g_area.ctypes.data_as(P(ctypes.c_double)),
+        g_crowd.ctypes.data_as(P(ctypes.c_int32)),
+        lo.ctypes.data_as(P(ctypes.c_double)),
+        hi.ctypes.data_as(P(ctypes.c_double)),
+        A,
+        iou_thrs.ctypes.data_as(P(ctypes.c_double)),
+        T,
+        D.ctypes.data_as(P(ctypes.c_int64)),
+        G.ctypes.data_as(P(ctypes.c_int64)),
+        ioff.ctypes.data_as(P(ctypes.c_int64)),
+        goff.ctypes.data_as(P(ctypes.c_int64)),
+        doff.ctypes.data_as(P(ctypes.c_int64)),
+        n_img,
+        sum_d,
+        matched.ctypes.data_as(P(ctypes.c_uint8)),
+        ignore.ctypes.data_as(P(ctypes.c_uint8)),
+        n_gt.ctypes.data_as(P(ctypes.c_int32)),
+    )
+    return matched.astype(bool), ignore.astype(bool), n_gt
 
 
 def available() -> bool:

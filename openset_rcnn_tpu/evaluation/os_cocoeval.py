@@ -169,6 +169,59 @@ def _match_group_pre(pre, a_lo, a_hi, iou_thrs):
     return _ImgEval(scores=scores, matched=matched, ignore=dt_ignore, n_gt=n_gt)
 
 
+_AREA_RANGES_ARR = np.asarray([AREA_RNGS[l] for l in AREA_LBLS])
+
+
+def _match_groups_all_areas(pres, iou_thrs, area_ranges=_AREA_RANGES_ARR):
+    """Match a list of precomputed groups for EVERY area range at once.
+
+    Dispatches the whole (group x area x threshold) loop to the C++
+    ``match_category`` kernel in one ctypes call (the per-group dispatch
+    overhead dominated host eval time); numpy fallback loops the per-group
+    matcher. Returns (matched (A, T, sumD), ignore (A, T, sumD),
+    n_gt (A, n_groups)) where group i's detections occupy columns
+    [sum(D[:i]), sum(D[:i+1])).
+    """
+    A = len(area_ranges)
+    T = len(iou_thrs)
+    D = np.asarray([len(p["scores"]) for p in pres], np.int64)
+    G = np.asarray([p["n_gt"] for p in pres], np.int64)
+    sum_d = int(D.sum())
+    try:
+        from .evalcore_binding import match_category_native
+
+        ious_flat = (
+            np.concatenate([p["ious"].ravel() for p in pres if p["ious"] is not None])
+            if any(p["ious"] is not None for p in pres)
+            else np.zeros((0,), np.float64)
+        )
+        d_area = (
+            np.concatenate([p["d_area"] for p in pres]) if pres else np.zeros((0,))
+        )
+        g_area = (
+            np.concatenate([p["g_area"] for p in pres]) if pres else np.zeros((0,))
+        )
+        g_crowd = (
+            np.concatenate([p["g_crowd"] for p in pres]) if pres else np.zeros((0,))
+        )
+        return match_category_native(
+            ious_flat, d_area, g_area, g_crowd, D, G, area_ranges, iou_thrs
+        )
+    except Exception:
+        pass
+    matched = np.zeros((A, T, sum_d), bool)
+    ignore = np.zeros((A, T, sum_d), bool)
+    n_gt = np.zeros((A, len(pres)), np.int32)
+    doff = np.concatenate([[0], np.cumsum(D)])
+    for ai, (a_lo, a_hi) in enumerate(area_ranges):
+        for i, p in enumerate(pres):
+            ev = _match_group_pre(p, a_lo, a_hi, iou_thrs)
+            matched[ai, :, doff[i] : doff[i + 1]] = ev.matched
+            ignore[ai, :, doff[i] : doff[i + 1]] = ev.ignore
+            n_gt[ai, i] = ev.n_gt
+    return matched, ignore, n_gt
+
+
 def _match_group(dts, gts, a_lo, a_hi, iou_thrs, ious_presorted=None):
     """Full per-image matching for one (dt-list, gt-list, area range)."""
     D = len(dts)
@@ -263,48 +316,42 @@ class OpenSetCocoEval:
                     continue
                 per_img[img] = (dts, gts_k, gts_ok, gts_u)
 
-            pre_list = []
+            pres_k, pres_ok, pres_u = [], [], []
             for img in self.image_ids:
                 grp = per_img[img]
                 if grp is None:
                     continue
                 dts, gts_k, gts_ok, gts_u = grp
-                pre_list.append(
-                    (
-                        _precompute_group(dts, gts_k),
-                        _precompute_group(dts, gts_ok),
-                        _precompute_group(dts, gts_u),
-                    )
-                )
-            for ai, albl in enumerate(AREA_LBLS):
-                a_lo, a_hi = AREA_RNGS[albl]
-                evs = [
-                    (
-                        _match_group_pre(pk, a_lo, a_hi, self.iou_thrs),
-                        _match_group_pre(pok, a_lo, a_hi, self.iou_thrs),
-                        _match_group_pre(pu, a_lo, a_hi, self.iou_thrs),
-                    )
-                    for pk, pok, pu in pre_list
-                ]
-                if not evs:
+                pres_k.append(_precompute_group(dts, gts_k))
+                pres_ok.append(_precompute_group(dts, gts_ok))
+                pres_u.append(_precompute_group(dts, gts_u))
+            if not pres_k:
+                continue
+            scores_flat = np.concatenate([p["scores"] for p in pres_k])
+            pos_in_img = np.concatenate(
+                [np.arange(len(p["scores"])) for p in pres_k]
+            )
+            M_k, IG_k, ngt_k = _match_groups_all_areas(pres_k, self.iou_thrs)
+            M_ok, IG_ok, _ = _match_groups_all_areas(pres_ok, self.iou_thrs)
+            M_u, IG_u, _ = _match_groups_all_areas(pres_u, self.iou_thrs)
+            for ai in range(len(AREA_LBLS)):
+                npig = int(ngt_k[ai].sum())
+                if npig == 0:
                     continue
                 for mi, md in enumerate(self.max_dets):
-                    scores = np.concatenate([e[0].scores[:md] for e in evs])
+                    mask = pos_in_img < md
+                    scores = scores_flat[mask]
                     order = np.argsort(-scores, kind="mergesort")
-                    s_sorted = scores[order]
 
-                    def cat_cols(sel):
-                        return np.concatenate([sel(e)[:, :md] for e in evs], axis=1)[:, order]
+                    def cat_cols(X):
+                        return X[ai][:, mask][:, order]
 
-                    m_k = cat_cols(lambda e: e[0].matched)
-                    ig_k = cat_cols(lambda e: e[0].ignore)
-                    m_ok = cat_cols(lambda e: e[1].matched)
-                    ig_ok = cat_cols(lambda e: e[1].ignore)
-                    m_u = cat_cols(lambda e: e[2].matched)
-                    ig_u = cat_cols(lambda e: e[2].ignore)
-                    npig = sum(e[0].n_gt for e in evs)
-                    if npig == 0:
-                        continue
+                    m_k = cat_cols(M_k)
+                    ig_k = cat_cols(IG_k)
+                    m_ok = cat_cols(M_ok)
+                    ig_ok = cat_cols(IG_ok)
+                    m_u = cat_cols(M_u)
+                    ig_u = cat_cols(IG_u)
 
                     tps = m_k & ~ig_k
                     fps = ~m_k & ~ig_k
@@ -363,38 +410,39 @@ class OpenSetCocoEval:
                 continue
             per_img_u[img] = (dts, gts_u, all_k_gts_per_img.get(img, []))
 
-        pre_u_list = []
+        pres_uu, pres_uk = [], []
         for img in self.image_ids:
             grp = per_img_u[img]
             if grp is None:
                 continue
             dts, gts_u, gts_k = grp
-            pre_u_list.append((_precompute_group(dts, gts_u), _precompute_group(dts, gts_k)))
-        for ai, albl in enumerate(AREA_LBLS):
-            a_lo, a_hi = AREA_RNGS[albl]
-            evs = [
-                (
-                    _match_group_pre(pu, a_lo, a_hi, self.iou_thrs),
-                    _match_group_pre(pk, a_lo, a_hi, self.iou_thrs),
-                )
-                for pu, pk in pre_u_list
-            ]
-            if not evs:
+            pres_uu.append(_precompute_group(dts, gts_u))
+            pres_uk.append(_precompute_group(dts, gts_k))
+        if pres_uu:
+            scores_flat_u = np.concatenate([p["scores"] for p in pres_uu])
+            pos_in_img_u = np.concatenate(
+                [np.arange(len(p["scores"])) for p in pres_uu]
+            )
+            M_uu, IG_uu, ngt_u = _match_groups_all_areas(pres_uu, self.iou_thrs)
+            M_uk, IG_uk, _ = _match_groups_all_areas(pres_uk, self.iou_thrs)
+        for ai in range(len(AREA_LBLS)):
+            if not pres_uu:
+                continue
+            npig = int(ngt_u[ai].sum())
+            if npig == 0:
                 continue
             for mi, md in enumerate(self.max_dets):
-                scores = np.concatenate([e[0].scores[:md] for e in evs])
+                mask = pos_in_img_u < md
+                scores = scores_flat_u[mask]
                 order = np.argsort(-scores, kind="mergesort")
 
-                def cat_cols(sel):
-                    return np.concatenate([sel(e)[:, :md] for e in evs], axis=1)[:, order]
+                def cat_cols(X):
+                    return X[ai][:, mask][:, order]
 
-                m_u = cat_cols(lambda e: e[0].matched)
-                ig_u = cat_cols(lambda e: e[0].ignore)
-                m_k = cat_cols(lambda e: e[1].matched)
-                ig_k = cat_cols(lambda e: e[1].ignore)
-                npig = sum(e[0].n_gt for e in evs)
-                if npig == 0:
-                    continue
+                m_u = cat_cols(M_uu)
+                ig_u = cat_cols(IG_uu)
+                m_k = cat_cols(M_uk)
+                ig_k = cat_cols(IG_uk)
                 tps = m_u & ~ig_u
                 fps = ~m_u & ~ig_u
                 kfps = m_k & ~ig_k

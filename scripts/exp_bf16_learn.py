@@ -2,8 +2,9 @@
 (the VALIDATION.md recipe) with TPU.DTYPE from argv, printing the loss
 trajectory and open-set eval metrics so f32 vs bfloat16 can be compared.
 
-Usage: python scripts/exp_bf16_learn.py {float32|bfloat16} [iters] [matcher]
+Usage: python scripts/exp_bf16_learn.py {float32|bfloat16} [iters] [matcher] [rpn_loss]
 Runs on whatever backend is registered (the real chip under axon).
+LR decays 10x at 75% of the schedule when iters >= 5000.
 """
 import json
 import os
@@ -23,7 +24,8 @@ def main():
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
     matcher = sys.argv[3] if len(sys.argv) > 3 else "auto"
-    root = tempfile.mkdtemp(prefix=f"bf16learn_{dtype}_")
+    rpn_loss = sys.argv[4] if len(sys.argv) > 4 else "iou"
+    root = tempfile.mkdtemp(prefix=f"bf16learn_{dtype}_{rpn_loss}_")
 
     # train has 3 known classes; test adds a never-trained 4th (unknown).
     # color_seed pins the class->color map across splits.
@@ -47,10 +49,11 @@ def main():
     cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 64
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 200
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 100
-    cfg.MODEL.RPN.BBOX_REG_LOSS_TYPE = "iou"
+    cfg.MODEL.RPN.BBOX_REG_LOSS_TYPE = rpn_loss
     cfg.MODEL.RPN.BBOX_REG_LOSS_WEIGHT = 0.5
     cfg.MODEL.RPN.CTR_REG_LOSS_WEIGHT = 0.5
-    cfg.MODEL.RPN.DELTA_BIAS_INIT = 0.25  # IoU-loss cold start (VALIDATION.md)
+    if rpn_loss == "iou":
+        cfg.MODEL.RPN.DELTA_BIAS_INIT = 0.25  # IoU-loss cold start (VALIDATION.md)
     cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
     cfg.MODEL.PLN.UNK_THR = 0.3
     cfg.DATASETS.TRAIN = ("synth_train",)
@@ -64,7 +67,7 @@ def main():
     cfg.SOLVER.MAX_ITER = iters
     cfg.SOLVER.CHECKPOINT_PERIOD = iters
     cfg.SOLVER.WARMUP_ITERS = 100
-    cfg.SOLVER.STEPS = (100000,)
+    cfg.SOLVER.STEPS = (int(iters * 0.75),) if iters >= 5000 else (100000,)
     cfg.INPUT.MIN_SIZE_TRAIN = (128,)
     cfg.INPUT.MAX_SIZE_TRAIN = 256
     cfg.INPUT.MIN_SIZE_TEST = 128

@@ -78,3 +78,56 @@ def test_nms_native_matches_python(rng):
         want = np.zeros(n, bool)
         want[kept] = True
         np.testing.assert_array_equal(keep, want)
+
+
+def test_match_category_batch_matches_per_group(rng):
+    """The batched C++ (image x area) matcher must agree with the per-group
+    numpy path (_match_group_pre) on random groups, including empty dt/gt
+    groups and crowd/area-ignore interactions."""
+    import numpy as np
+    from openset_rcnn_tpu.evaluation.os_cocoeval import (
+        IOU_THRS,
+        _AREA_RANGES_ARR,
+        _match_group_pre,
+        _match_groups_all_areas,
+        _precompute_group,
+    )
+    from openset_rcnn_tpu.evaluation import evalcore_binding as eb
+
+    if not (eb.available() and hasattr(eb._load(), "match_category")):
+        import pytest
+
+        pytest.skip("native evalcore unavailable")
+
+    pres = []
+    for i in range(12):
+        D = int(rng.randint(0, 15))
+        G = int(rng.randint(0, 8))
+        dts = []
+        scores = -np.sort(-rng.rand(D))
+        for d in range(D):
+            x, y = rng.uniform(0, 200, 2)
+            w, h = rng.uniform(2, 150, 2)
+            dts.append(dict(bbox=[x, y, w, h], score=float(scores[d])))
+        gts = []
+        for g in range(G):
+            x, y = rng.uniform(0, 200, 2)
+            w, h = rng.uniform(2, 150, 2)
+            gts.append(dict(bbox=[x, y, w, h], area=w * h,
+                            iscrowd=int(rng.rand() < 0.2)))
+        pres.append(_precompute_group(dts, gts))
+
+    matched, ignore, n_gt = _match_groups_all_areas(pres, IOU_THRS)
+    doff = np.concatenate(
+        [[0], np.cumsum([len(p["scores"]) for p in pres])]
+    ).astype(int)
+    for ai, (lo, hi) in enumerate(_AREA_RANGES_ARR):
+        for i, p in enumerate(pres):
+            ev = _match_group_pre(p, lo, hi, IOU_THRS)
+            np.testing.assert_array_equal(
+                matched[ai][:, doff[i]:doff[i + 1]], ev.matched, err_msg=f"a{ai} g{i}"
+            )
+            np.testing.assert_array_equal(
+                ignore[ai][:, doff[i]:doff[i + 1]], ev.ignore, err_msg=f"a{ai} g{i}"
+            )
+            assert n_gt[ai, i] == ev.n_gt
