@@ -37,7 +37,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 timeout=120,
             )
         except Exception:
-            return None
+            # Rebuild failed (no toolchain / timeout). If a previously-built
+            # .so exists, still load it — the hasattr symbol guards below
+            # handle a stale library missing newer entry points.
+            if not os.path.exists(_SO_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:

@@ -170,6 +170,7 @@ def _match_group_pre(pre, a_lo, a_hi, iou_thrs):
 
 
 _AREA_RANGES_ARR = np.asarray([AREA_RNGS[l] for l in AREA_LBLS])
+_NATIVE_WARNED = False
 
 
 def _match_groups_all_areas(pres, iou_thrs, area_ranges=_AREA_RANGES_ARR):
@@ -207,8 +208,21 @@ def _match_groups_all_areas(pres, iou_thrs, area_ranges=_AREA_RANGES_ARR):
         return match_category_native(
             ious_flat, d_area, g_area, g_crowd, D, G, area_ranges, iou_thrs
         )
-    except Exception:
+    except (ImportError, OSError, RuntimeError):
+        # expected: extension not built / toolchain absent -> numpy fallback
         pass
+    except Exception:
+        # unexpected (layout/binding bug): still fall back, but say so once
+        # instead of silently degrading every eval to the slower path
+        global _NATIVE_WARNED
+        if not _NATIVE_WARNED:
+            _NATIVE_WARNED = True
+            import logging, traceback
+
+            logging.getLogger(__name__).warning(
+                "native match_category failed unexpectedly; using numpy "
+                "fallback:\n%s", traceback.format_exc()
+            )
     matched = np.zeros((A, T, sum_d), bool)
     ignore = np.zeros((A, T, sum_d), bool)
     n_gt = np.zeros((A, len(pres)), np.int32)

@@ -177,10 +177,42 @@ class OpensetVocEvaluator:
             npos=npos, tp_plus_fp=tp_c + fp_c, image_ids=image_ids, n=nd,
         )
 
-    def evaluate(self) -> Dict[str, float]:
+    def _load_detections(self):
+        """Reload the per-class detection files written by a previous
+        evaluate() — the VOC-path equivalent of the reference's
+        ``instances_predictions.pth`` re-scoring (--resume_test,
+        os_coco_evaluation.py:177-184; the reference's VOC evaluator has no
+        such path and train.py:283-284 asserts it away — we support it)."""
+        if not self.output_dir:
+            raise ValueError("--resume_test needs OUTPUT_DIR with saved detections")
+        det_dir = os.path.join(self.output_dir, "pascal_voc_eval")
+        if not os.path.isdir(det_dir):
+            raise FileNotFoundError(
+                f"no saved detections at {det_dir}; run eval once before --resume_test"
+            )
+        # GT keys may be non-str (synthetic datasets use ints)
+        key_of = {str(k): k for k in self._gt}
+        self.reset()
+        for cid, name in enumerate(self.class_names):
+            path = os.path.join(det_dir, f"{name}.txt")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                for line in f:
+                    img, s, x1, y1, x2, y2 = line.split()
+                    # stored values already carry the VOC (+1, +1) offset
+                    self._dets[cid].append(
+                        (key_of.get(img, img), float(s),
+                         float(x1), float(y1), float(x2), float(y2))
+                    )
+
+    def evaluate(self, resume: bool = False) -> Dict[str, float]:
         # multi-process eval: merge per-process detections (reference
         # comm.gather, pascal_voc_evaluation.py:106)
         from ..parallel import gather_object, num_processes
+
+        if resume:
+            self._load_detections()
 
         if num_processes() > 1:
             merged = defaultdict(list)

@@ -96,13 +96,15 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window: int
+    compute_dtype: Any = None  # None -> f32 everywhere
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: np.ndarray | None):
         """x: (B, nW, L, C); mask: (nW, L, L) numpy constant or None."""
         B, nW, L, C = x.shape
         h = self.num_heads
-        qkv = nn.Dense(3 * self.dim, name="qkv")(x).reshape(B, nW, L, 3, h, -1)
+        dt = self.compute_dtype
+        qkv = nn.Dense(3 * self.dim, name="qkv", dtype=dt)(x).reshape(B, nW, L, 3, h, -1)
         q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B, nW, L, h, d)
         scale = 1.0 / np.sqrt(self.dim // h)
         attn = jnp.einsum("bnlhd,bnmhd->bnhlm", q * scale, k)
@@ -114,12 +116,14 @@ class WindowAttention(nn.Module):
         )
         idx = _rel_pos_index(self.window)  # numpy constant
         bias = table[idx.reshape(-1)].reshape(L, L, h).transpose(2, 0, 1)
-        attn = attn + bias.astype(attn.dtype)
+        # bias add + softmax in f32 (bf16 logits lose the small relative
+        # biases; f32 softmax is the standard mixed-precision recipe)
+        attn = attn.astype(jnp.float32) + bias.astype(jnp.float32)
         if mask is not None:
-            attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None, :, :]
-        attn = jax.nn.softmax(attn, axis=-1)
+            attn = attn + jnp.asarray(mask, jnp.float32)[None, :, None, :, :]
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bnhlm,bnmhd->bnlhd", attn, v).reshape(B, nW, L, C)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, name="proj", dtype=dt)(out)
 
 
 class SwinBlock(nn.Module):
@@ -128,34 +132,45 @@ class SwinBlock(nn.Module):
     window: int
     shift: int  # 0 = regular windows, window//2 = shifted
     mlp_ratio: float = 4.0
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C)
         B, H, W, C = x.shape
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.compute_dtype)(x)
+        # Pad to window multiples FIRST, then cyclic-shift the PADDED grid
+        # (torch detection Swin: F.pad precedes torch.roll). Rolling the
+        # unpadded tensor would put the wrap seam at H-shift while the
+        # attention mask models it at Hp-shift — they only coincide when
+        # H, W are window multiples.
+        w = self.window
+        ph, pw = (w - H % w) % w, (w - W % w) % w
+        if ph or pw:
+            y = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        Hp, Wp = H + ph, W + pw
         if self.shift:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
-        y, hw_pad = _partition(y, self.window)
-        mask = (
-            _shift_mask(hw_pad[0], hw_pad[1], self.window, self.shift)
-            if self.shift
-            else None
-        )
-        y = WindowAttention(self.dim, self.num_heads, self.window, name="attn")(y, mask)
-        y = _unpartition(y, self.window, hw_pad, (H, W))
+        y, hw_pad = _partition(y, w)  # pad is a no-op: already multiples
+        mask = _shift_mask(Hp, Wp, w, self.shift) if self.shift else None
+        y = WindowAttention(
+            self.dim, self.num_heads, w, compute_dtype=self.compute_dtype, name="attn"
+        )(y, mask)
+        y = _unpartition(y, w, hw_pad, (Hp, Wp))
         if self.shift:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        y = y[:, :H, :W]
         x = shortcut + y
-        z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        z = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(z)
+        z = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.compute_dtype)(x)
+        z = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1", dtype=self.compute_dtype)(z)
         z = nn.gelu(z, approximate=False)
-        z = nn.Dense(self.dim, name="mlp_fc2")(z)
+        z = nn.Dense(self.dim, name="mlp_fc2", dtype=self.compute_dtype)(z)
         return x + z
 
 
 class PatchMerging(nn.Module):
     dim: int  # input dim
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -167,8 +182,8 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         )
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.compute_dtype)(x)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction", dtype=self.compute_dtype)(x)
 
 
 class SwinTransformer(nn.Module):
@@ -189,8 +204,12 @@ class SwinTransformer(nn.Module):
         depths = self.depths or depths
         heads = self.num_heads or heads
         x = images.astype(self.compute_dtype)
-        x = nn.Conv(embed_dim, (4, 4), strides=(4, 4), name="patch_embed")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+        # explicit layer dtype: flax otherwise promotes activations back to
+        # the f32 param dtype after the first layer, silently undoing mixed
+        # precision (same convention as resnet.py/fpn.py)
+        dt = self.compute_dtype if self.compute_dtype != jnp.float32 else None
+        x = nn.Conv(embed_dim, (4, 4), strides=(4, 4), name="patch_embed", dtype=dt)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm", dtype=dt)(x)
 
         outs = {}
         dim = embed_dim
@@ -202,12 +221,13 @@ class SwinTransformer(nn.Module):
                     heads[s],
                     self.window,
                     shift=0 if b % 2 == 0 else self.window // 2,
+                    compute_dtype=dt,
                     name=f"stage{s}_block{b}",
                 )(x)
             # per-stage output norm (mmdet detection recipe; new params
             # relative to the ImageNet checkpoint)
-            outs[f"res{s + 2}"] = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{s}")(x)
+            outs[f"res{s + 2}"] = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{s}", dtype=dt)(x)
             if s < n_stages - 1:
-                x = PatchMerging(dim, name=f"downsample{s}")(x)
+                x = PatchMerging(dim, compute_dtype=dt, name=f"downsample{s}")(x)
                 dim *= 2
         return outs

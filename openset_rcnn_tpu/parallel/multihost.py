@@ -25,11 +25,17 @@ def num_processes() -> int:
 _distributed_initialized = False
 
 
-def initialize_distributed(coordinator: str | None = None):
+def initialize_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
     """Single-controller init (replaces d2 `launch`, train.py:287-294).
 
     On Cloud TPU pods, jax.distributed.initialize() autodetects the
-    coordinator; the explicit address is for manual clusters.
+    coordinator / process topology; the explicit address + (num_processes,
+    process_id) — the CLI's --dist-url / --num-machines / --machine-rank —
+    are for manual clusters where autodetection is unavailable.
 
     MUST run before any backend-touching jax call (jax.devices(),
     jax.process_count(), jit, ...): querying the backend first finalizes a
@@ -39,7 +45,13 @@ def initialize_distributed(coordinator: str | None = None):
     global _distributed_initialized
     if _distributed_initialized:
         return
-    kwargs = {"coordinator_address": coordinator} if coordinator else {}
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:

@@ -122,19 +122,22 @@ class _Block(tnn.Module):
         B, H, W, C = x.shape
         w = self.window
         y = self.norm1(x)
-        if self.shift:
-            y = torch.roll(y, (-self.shift, -self.shift), dims=(1, 2))
+        # pad FIRST, then cyclic-shift the padded grid — the order used by
+        # the torch detection Swin (mmdet/microsoft): F.pad precedes roll
         ph, pw = (w - H % w) % w, (w - W % w) % w
         y = tnn.functional.pad(y, (0, 0, 0, pw, 0, ph))
         Hp, Wp = H + ph, W + pw
+        if self.shift:
+            y = torch.roll(y, (-self.shift, -self.shift), dims=(1, 2))
         y = y.reshape(B, Hp // w, w, Wp // w, w, C).permute(0, 1, 3, 2, 4, 5)
         y = y.reshape(B, -1, w * w, C)
         mask = _shift_mask(Hp, Wp, w, self.shift) if self.shift else None
         y = torch.stack([self.attn(y[b], mask) for b in range(B)])
         y = y.reshape(B, Hp // w, Wp // w, w, w, C).permute(0, 1, 3, 2, 4, 5)
-        y = y.reshape(B, Hp, Wp, C)[:, :H, :W]
+        y = y.reshape(B, Hp, Wp, C)
         if self.shift:
             y = torch.roll(y, (self.shift, self.shift), dims=(1, 2))
+        y = y[:, :H, :W]
         x = x + y
         return x + self.mlp(self.norm2(x))
 
@@ -242,3 +245,21 @@ def test_detector_with_swin_backbone():
     )
     assert feats["p2"].shape == (1, 16, 24, 256)
     assert feats["p6"].shape == (1, 1, 2, 256)
+
+
+def test_swin_bf16_compute_dtype_sticks():
+    """With compute_dtype=bf16 every stage output must be bf16 — flax would
+    silently promote back to the f32 param dtype without explicit layer
+    dtypes (the resnet.py/fpn.py pitfall)."""
+    model = SwinTransformer(
+        embed_dim=8, depths=(1, 1), num_heads=(1, 2), window=4,
+        compute_dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((1, 16, 24, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    for k, v in out.items():
+        assert v.dtype == jnp.bfloat16, (k, v.dtype)
+    # params stay f32 (mixed precision: bf16 activations, f32 master params)
+    leaves = jax.tree.leaves(params)
+    assert all(l.dtype == jnp.float32 for l in leaves)

@@ -104,3 +104,39 @@ def test_unknown_detections_by_last_class_id_are_scored():
     ev2.process("img1", shift([[50, 50, 60, 60]]), np.asarray([0.9]), np.asarray([80]))
     res2 = ev2.evaluate()
     assert res2["AP@U"] == 0.0
+
+
+def test_resume_rescoring_matches_original(tmp_path):
+    """--resume_test on the VOC path: a fresh evaluator with the same GT
+    reloads the per-class detection files and reproduces the metrics
+    exactly (the reference only supports this on the COCO path,
+    os_coco_evaluation.py:177-184; its train.py:283-284 asserts the VOC
+    combination away — we support it)."""
+
+    def with_gt():
+        ev = OpensetVocEvaluator(
+            ["cat", "dog", "unknown"], num_known_classes=2, output_dir=str(tmp_path)
+        )
+        ev.add_ground_truth(
+            "img1",
+            boxes=[[0, 0, 10, 10], [20, 20, 30, 30], [50, 50, 60, 60]],
+            class_names=["cat", "dog", "zebra"],
+            difficult=[False, False, False],
+        )
+        return ev
+
+    ev = with_gt()
+    ev.process("img1", shift([[0, 0, 10, 10]]), np.asarray([0.9]), np.asarray([0]))
+    ev.process("img1", shift([[20, 20, 30, 30]]), np.asarray([0.6]), np.asarray([1]))
+    ev.process("img1", shift([[50, 50, 60, 60]]), np.asarray([0.5]), np.asarray([2]))
+    first = ev.evaluate()
+
+    resumed = with_gt().evaluate(resume=True)
+    assert resumed == first
+
+    # missing artifacts -> clear error, not a silent zero score
+    import pytest
+
+    empty = OpensetVocEvaluator(["cat", "unknown"], 1, output_dir=str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        empty.evaluate(resume=True)

@@ -60,7 +60,13 @@ def main(args):
     if args.num_machines > 1 or args.dist_url:
         from openset_rcnn_tpu.parallel import initialize_distributed
 
-        initialize_distributed(args.dist_url or None)
+        # manual-cluster topology mirrors the reference launcher flags
+        # (--num-machines/--machine-rank/--dist-url, ref train.py:264-270)
+        initialize_distributed(
+            args.dist_url or None,
+            num_processes=args.num_machines if args.num_machines > 1 else None,
+            process_id=args.machine_rank if args.num_machines > 1 else None,
+        )
 
     from openset_rcnn_tpu.data import register_builtin_datasets
     from openset_rcnn_tpu.engine.train_loop import (
