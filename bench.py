@@ -28,7 +28,13 @@ H, W = 832, 1344
 # batch 8 fits since the Pallas RoIAlign forward removed the gather
 # residuals; it is the stable high-throughput point on 16 GB HBM.
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
-DTYPE = os.environ.get("BENCH_DTYPE", "float32")
+# bfloat16 is the production training configuration (TPU.DTYPE=bfloat16):
+# params and loss math stay f32, trunk/head activations run bf16 on the MXU.
+# Quality evidence: train-step gradient parity (scripts/exp_grad_parity_tpu
+# .py), f32-vs-bf16 end-to-end synthetic learning parity (PERFORMANCE.md
+# "bf16 policy"), and golden-forward converter tests. BENCH_DTYPE=float32
+# benches the conservative config.
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 WARMUP = 3
 ITERS = 10
 

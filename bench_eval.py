@@ -1,0 +1,82 @@
+"""Benchmark: fused-cascade EVAL throughput on one TPU chip (sibling of
+bench.py — pins the eval img/s claim as an artifact, VERDICT r2 weak-8).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology identical to bench.py: chained dispatches, single end sync,
+slope between two run lengths (the tunneled deployment charges ~25 ms per
+host<->device sync; see CLAUDE.md). The model is the flagship VOC-COCO
+R50-FPN Openset-RCNN; the measured program is the full device-side eval —
+backbone, CF-RPN proposal selection, ROI heads, and the fused 3-stage
+open-set cascade (models/serving.py) — i.e. exactly what do_test dispatches
+per batch. vs_baseline compares against the same ~20 img/s A100 estimate as
+bench.py (reference eval runs 1 img/GPU, d2 R50-FPN inference ~15-25 img/s
+on A100-class hardware).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_IMG_S = 20.0
+H, W = 832, 1344
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+
+def main():
+    from openset_rcnn_tpu.config import get_default_cfg
+    from openset_rcnn_tpu.evaluation.postprocess import PostprocessConfig
+    from openset_rcnn_tpu.evaluation.testing import CompiledInference
+    from openset_rcnn_tpu.models import ModelSpec, OpensetRCNNModule, opendet_id_map
+
+    cfg = get_default_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 81
+    cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES = 20
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
+    cfg.OPENDET_BENCHMARK = True
+    cfg.TPU.DTYPE = DTYPE
+    spec = ModelSpec.from_cfg(cfg, opendet_id_map(81, 20))
+    module = OpensetRCNNModule(spec=spec)
+    params = jax.jit(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
+    )()
+    post_cfg = PostprocessConfig.from_cfg(cfg, True, None)
+    infer = CompiledInference(module, params, spec, post_cfg=post_cfg)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.uniform(0, 255, (BATCH, H, W, 3)).astype(np.float32))
+    hw = jnp.asarray([[800.0, 1333.0]] * BATCH, jnp.float32)
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = infer(images, hw)
+        _ = float(out.scores[0, 0])  # hard sync
+        return time.perf_counter() - t0
+
+    run(3)
+    t_short = run(5)
+    t_long = run(20)
+    per_batch = (t_long - t_short) / 15
+    img_s = BATCH / per_batch
+    print(
+        json.dumps(
+            {
+                "metric": "eval_images_per_sec_per_chip_r50fpn_832x1344_fused",
+                "value": round(img_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -200,6 +200,9 @@ def get_default_cfg() -> CN:
     _C.TPU.MAX_DETECTIONS_DEVICE = 100     # fused on-device inference cap
     _C.TPU.EVAL_BATCH_SIZE = 8             # eval images per device dispatch
     _C.TPU.EVAL_FUSED = True               # fuse the 3-stage cascade on-device
+    _C.TPU.EVAL_MESH = True                # single-process multi-chip: shard the
+                                           # eval batch over gcd(EVAL_BATCH_SIZE,
+                                           # n_devices) chips
                                            #  (False: exact host cascade oracle)
     _C.TPU.DTYPE = "float32"               # compute dtype for conv trunk
     _C.TPU.REMAT = False                   # rematerialize backbone blocks

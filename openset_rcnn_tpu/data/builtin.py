@@ -70,6 +70,7 @@ def register_graspnet_os(root: str):
             evaluator_type="coco",
             json_file=os.path.join(root, json_file),
             image_root=os.path.join(root, image_dir),
+            known_ids=list(GRASPNET_KNOWN_IDS),
             **meta,
         )
 

@@ -59,7 +59,18 @@ def _filter_empty(records: List[dict]) -> List[dict]:
 
 
 class TrainLoader:
-    """Infinite stream of homogeneous-bucket batches."""
+    """Infinite stream of homogeneous-bucket batches.
+
+    Sharding is by GLOBAL-BATCH BLOCK, not by stride: every process computes
+    the identical sequence of global batches (a pure function of the record
+    metadata + seed) and takes its contiguous ``batch_size`` slice of each.
+    Concatenating all shards therefore reproduces the single-process global
+    batch exactly — training is invariant to the process layout (the
+    reference's strided d2 sharding has no such property; its per-GPU
+    batches never form one array). Aspect-ratio grouping likewise runs on
+    record metadata (``width``/``height``), so all processes group
+    identically without decoding a single image.
+    """
 
     def __init__(
         self,
@@ -85,23 +96,70 @@ class TrainLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
 
-    def _index_stream(self) -> Iterator[int]:
+    def _is_landscape(self, rec: dict) -> bool:
+        """Bucket from metadata: resize preserves aspect, so w >= h predicts
+        the transform's landscape/portrait choice exactly (transforms.py
+        bucket_for). Records without size metadata default to landscape."""
+        w, h = rec.get("width"), rec.get("height")
+        if w is None or h is None:
+            return True
+        return w >= h
+
+    def _block_stream(self) -> Iterator[List[int]]:
+        """Global batches of record indices — identical on every process.
+        Per-epoch permutation feeds two aspect-grouped queues; whichever
+        reaches the global batch size first emits a block."""
+        gbs = self.batch_size * self.num_shards
+        pending = {True: [], False: []}
         epoch = 0
         while True:
             rng = np.random.RandomState((self.seed, epoch))
-            order = rng.permutation(len(self.records))
-            for i in order[self.shard_id :: self.num_shards]:
-                yield int(i)
+            for i in rng.permutation(len(self.records)):
+                q = pending[self._is_landscape(self.records[int(i)])]
+                q.append(int(i))
+                if len(q) == gbs:
+                    yield list(q)
+                    q.clear()
             epoch += 1
+
+    def _example_stream(self) -> Iterator[Tuple[int, int]]:
+        """(global_seq, record_index) for THIS shard. global_seq numbers the
+        example within the global stream, so the augmentation RNG — and with
+        it the produced pixels — is invariant to the shard layout."""
+        bs = self.batch_size
+        lo = self.shard_id * bs
+        for bi, block in enumerate(self._block_stream()):
+            for j, idx in enumerate(block[lo : lo + bs]):
+                yield bi * bs * self.num_shards + lo + j, idx
+
+    def _placeholder(self, rec: dict):
+        """Lockstep filler for an unreadable image: black pixels, no GT.
+        Dropping the slot would desynchronise the global batch composition
+        across processes."""
+        bh, bw = self.transform.bucket_hw
+        if not self._is_landscape(rec):
+            bh, bw = bw, bh
+        mg = self.transform.max_gt
+        return TransformedExample(
+            image=np.zeros((bh, bw, 3), np.float32),
+            image_hw=(bh, bw),
+            original_hw=(bh, bw),
+            bucket_hw=(bh, bw),
+            boxes=np.zeros((mg, 4), np.float32),
+            classes=np.zeros((mg,), np.int32),
+            gt_valid=np.zeros((mg,), bool),
+            image_id=rec.get("image_id"),
+        )
 
     def __iter__(self) -> Iterator[Tuple[ImageBatch, BatchMeta]]:
         """Deterministic: batch composition and augmentations are a pure
-        function of (seed, epoch, shard). Workers transform in parallel but
-        (a) each example's augmentation RNG derives from its global sequence
-        number, not the worker id, and (b) the consumer reorders completed
-        examples back into sequence order before batching, so the thread
-        schedule cannot change the stream."""
-        idx_stream = self._index_stream()
+        function of (seed, epoch) — independent of worker count AND shard
+        layout. Workers transform in parallel but (a) each example's
+        augmentation RNG derives from its global sequence number, and
+        (b) the consumer reorders completed examples back into sequence
+        order before batching, so the thread schedule cannot change the
+        stream."""
+        stream = self._example_stream()
         lock = threading.Lock()
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
         counter = itertools.count()
@@ -109,12 +167,12 @@ class TrainLoader:
         def worker():
             while True:
                 with lock:
-                    i = next(idx_stream)
                     seq = next(counter)
-                rng = np.random.RandomState((self.seed, 7919, seq))
+                    gseq, i = next(stream)
+                rng = np.random.RandomState((self.seed, 7919, gseq))
                 ex = self.transform(self.records[i], rng)
-                if ex is None or not ex.gt_valid.any():
-                    ex = None  # keep the slot so the reorder buffer has no holes
+                if ex is None:
+                    ex = self._placeholder(self.records[i])
                 out_q.put((seq, ex))
 
         for _ in range(self.num_workers):
@@ -128,19 +186,17 @@ class TrainLoader:
                 while want not in pending:
                     seq, ex = out_q.get()
                     pending[seq] = ex
-                ex = pending.pop(want)
+                yield pending.pop(want)
                 want += 1
-                if ex is not None:
-                    yield ex
 
-        # aspect-ratio grouping: collect per-bucket until one fills
-        groups = {}
+        # blocks are bucket-homogeneous by construction: batch every
+        # consecutive batch_size examples
+        buf: List[TransformedExample] = []
         for ex in ordered_stream():
-            groups.setdefault(ex.bucket_hw, []).append(ex)
-            g = groups[ex.bucket_hw]
-            if len(g) == self.batch_size:
-                yield collate(g)
-                groups[ex.bucket_hw] = []
+            buf.append(ex)
+            if len(buf) == self.batch_size:
+                yield collate(buf)
+                buf = []
 
 
 class EvalLoader:

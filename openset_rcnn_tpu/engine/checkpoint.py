@@ -31,10 +31,13 @@ class Checkpointer:
     def save(self, state, step: int):
         path = os.path.join(self.dir, f"model_{step:07d}")
         pure = flax.serialization.to_state_dict(state)
+        # multi-process: every process participates (orbax coordinates the
+        # shard writes); only the main process touches the marker file
         self._ckptr.save(path, pure, force=True)
-        with open(os.path.join(self.dir, "last_checkpoint"), "w") as f:
-            f.write(os.path.basename(path))
-        logger.info("Saved checkpoint %s", path)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.dir, "last_checkpoint"), "w") as f:
+                f.write(os.path.basename(path))
+            logger.info("Saved checkpoint %s", path)
         return path
 
     # --------------------------------------------------------------- restore

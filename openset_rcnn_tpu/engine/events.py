@@ -26,7 +26,16 @@ except Exception:  # pragma: no cover
 
 
 class EventWriter:
+    """Writes on the main process only (reference parity: d2 writers exist
+    on rank 0, train.py:125,159-163); on other processes every method is a
+    no-op so the engine code needs no rank guards."""
+
     def __init__(self, output_dir: str, flush_period: int = 20, use_tensorboard: bool = True):
+        from ..parallel import is_main_process
+
+        self._active = is_main_process()
+        if not self._active:
+            return
         os.makedirs(output_dir, exist_ok=True)
         self.output_dir = output_dir
         self.flush_period = flush_period
@@ -37,6 +46,8 @@ class EventWriter:
         self._step_times: deque = deque(maxlen=flush_period)
 
     def write(self, step: int, scalars: Dict[str, float]):
+        if not self._active:
+            return
         now = time.perf_counter()
         if self._last_time is not None:
             self._step_times.append(now - self._last_time)
@@ -61,6 +72,8 @@ class EventWriter:
             logger.info("iter %d  %s", step, msg)
 
     def close(self):
+        if not self._active:
+            return
         self._json_file.close()
         if self._tb is not None:
             self._tb.close()

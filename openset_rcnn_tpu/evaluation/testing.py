@@ -37,11 +37,21 @@ class CompiledInference:
         params,
         spec: ModelSpec,
         post_cfg: Optional[PostprocessConfig] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ('data','model') mesh — the batch is sharded
+        over 'data' and params replicated, so a single-process multi-chip
+        deployment evaluates on every chip instead of one (the train mesh's
+        DP analog for inference; reference scope is 1 image/GPU/process)."""
         self.module = module
-        self.params = params
         self.spec = spec
         self.post_cfg = post_cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicated
+
+            params = jax.device_put(params, replicated(mesh))
+        self.params = params
         self._cache: Dict[tuple, Callable] = {}
 
     def __call__(self, images: jnp.ndarray, image_hw: jnp.ndarray):
@@ -78,9 +88,114 @@ class CompiledInference:
                         max_known_candidates=max(2 * pc.detections_per_image, 2000),
                     )
 
-            self._cache[bucket] = jax.jit(fn)
-            logger.info("compiled inference for bucket %s (fused=%s)", bucket, pc is not None)
+            if self.mesh is None:
+                self._cache[bucket] = jax.jit(fn)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_sh = NamedSharding(self.mesh, P("data"))
+                rep = NamedSharding(self.mesh, P())
+                self._cache[bucket] = jax.jit(
+                    fn,
+                    in_shardings=(rep, batch_sh, batch_sh),
+                    out_shardings=batch_sh,
+                )
+            logger.info(
+                "compiled inference for bucket %s (fused=%s, mesh=%s)",
+                bucket, pc is not None, self.mesh is not None,
+            )
         return self._cache[bucket](self.params, images, image_hw)
+
+
+class CompiledProposals:
+    """Backbone + CF-RPN + top-k proposal selection only — the device side
+    of the box-proposals AR task (reference `_eval_box_proposals`,
+    os_coco_evaluation.py:297-334). Skips the ROI heads entirely."""
+
+    def __init__(self, module: OpensetRCNNModule, params, spec: ModelSpec, mesh=None):
+        self.module = module
+        self.spec = spec
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicated
+
+            params = jax.device_put(params, replicated(mesh))
+        self.params = params
+        self._cache: Dict[tuple, Callable] = {}
+
+    def __call__(self, images: jnp.ndarray, image_hw: jnp.ndarray):
+        bucket = tuple(images.shape[1:3])
+        if bucket not in self._cache:
+            from ..models.detector import OpensetRCNNModule as M
+            from ..models.rpn import select_proposals
+            from ..ops import Box2BoxTransformLinear
+
+            anchors_np, level_sizes = compute_anchors(self.spec, bucket)
+            anchors = jnp.asarray(anchors_np)
+            spec, module = self.spec, self.module
+            tf = Box2BoxTransformLinear(normalize_by_size=True)
+
+            def fn(params, images, image_hw):
+                feats = module.apply({"params": params}, images, method=M.features)
+                deltas, ctrs, _ = module.apply(
+                    {"params": params}, feats, method=M.rpn_predictions
+                )
+                return select_proposals(
+                    anchors, deltas, ctrs, level_sizes, image_hw, tf,
+                    pre_topk=spec.pre_nms_topk_test, min_box_size=spec.min_box_size,
+                )
+
+            if self.mesh is None:
+                self._cache[bucket] = jax.jit(fn)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_sh = NamedSharding(self.mesh, P("data"))
+                rep = NamedSharding(self.mesh, P())
+                self._cache[bucket] = jax.jit(
+                    fn, in_shardings=(rep, batch_sh, batch_sh), out_shardings=batch_sh
+                )
+        return self._cache[bucket](self.params, images, image_hw)
+
+
+def proposal_ar_on_dataset(
+    infer: CompiledProposals,
+    loader,
+    records,
+    limits=(100, 1000),
+) -> Dict[str, float]:
+    """Collect proposals per image, gather across processes, score AR
+    against ALL GT boxes (known + unknown pooled — the reference relabels
+    then pools, os_coco_evaluation.py:465-573)."""
+    from ..parallel import gather_object, num_processes
+    from .proposals import evaluate_box_proposals
+
+    entries = []
+    for batch, meta in loader:
+        out = jax.tree.map(np.asarray, infer(batch.images, batch.image_hw))
+        for i, image_id in enumerate(meta.image_ids):
+            v = out.valid[i]
+            b = out.boxes[i][v]
+            s = out.scores[i][v]
+            ih, iw = meta.input_hw[i]
+            oh, ow = meta.original_hw[i]
+            b = b * np.asarray([ow / iw, oh / ih, ow / iw, oh / ih], b.dtype)
+            entries.append({"image_id": image_id, "boxes": b, "scores": s})
+    if num_processes() > 1:
+        merged = []
+        for part in gather_object(entries):
+            merged.extend(part)
+        entries = merged
+
+    gt_map = {
+        r["image_id"]: np.asarray(
+            [a["bbox"] for a in r.get("annotations", [])], np.float64
+        ).reshape(-1, 4)
+        for r in records
+    }
+    res = evaluate_box_proposals(entries, gt_map, limits=limits)
+    logger.info("proposal AR: %s", {k: round(v, 4) for k, v in res.items()})
+    return res
 
 
 def inference_on_dataset(

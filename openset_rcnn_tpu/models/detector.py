@@ -242,9 +242,15 @@ class OpensetRCNNModule(nn.Module):
     def roi_forward(self, fpn_feats, boxes):
         impl = self.spec.roi_align_impl
         if impl == "auto":
+            from ..parallel.mesh import active_mesh, pallas_device_local
+
+            # on TPU whenever the kernel can run on one device's shard —
+            # single chip, inside shard_map, or under an engine mesh
+            # (pool_features then shard_maps the call over 'data')
             impl = (
                 "pallas"
-                if jax.default_backend() == "tpu" and jax.device_count() == 1
+                if jax.default_backend() == "tpu"
+                and (pallas_device_local() or active_mesh() is not None)
                 else "gather"
             )
         pooled = pool_features(

@@ -312,11 +312,20 @@ def pool_features(
     # the device step time. impl="pallas" routes the forward through the
     # window-DMA kernel (~5x); the gather path pools in bf16 to halve its
     # traffic. Pooled features are promoted back to f32 before the FC head.
-    feats = [fpn_feats[f].astype(pool_dtype) for f in in_features]
-    out = multilevel_roi_align_batched(
-        feats, boxes, strides, out_size=resolution, sampling_ratio=sampling_ratio,
+    feats = tuple(fpn_feats[f].astype(pool_dtype) for f in in_features)
+    align = lambda fs, bx: multilevel_roi_align_batched(
+        fs, bx, strides, out_size=resolution, sampling_ratio=sampling_ratio,
         impl=impl, bwd_impl=bwd_impl,
     )
+    if impl == "pallas":
+        # under an engine mesh the pallas_call must run per-device: wrap in
+        # shard_map over the batch ('data') axis (identity when unsharded)
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import data_shard_map
+
+        align = data_shard_map(align, in_specs=(P("data"), P("data")), out_specs=P("data"))
+    out = align(feats, boxes)
     return out.astype(jnp.float32)  # (B, S, 7, 7, C)
 
 

@@ -153,16 +153,29 @@ def rpn_targets(
     """Anchor target assignment. The (G x R) IoU matrix + dual matchers run
     through the fused Pallas kernel on TPU (ops/pallas/iou_match_kernel.py:
     never materializes the ~37 MB/image matrix); XLA fallback elsewhere."""
+    from ..parallel.mesh import active_mesh, data_shard_map, pallas_device_local
+
     B = gt.boxes.shape[0]
     if use_pallas is None:
-        # auto: single-chip TPU only (partitioning a pallas_call across a
-        # sharded batch is not validated; multi-chip runs use the XLA path)
-        use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
+        # auto: on TPU whenever the kernel can run per-device — single chip,
+        # inside a shard_map body, or under an engine-registered mesh (the
+        # call below then wraps itself in shard_map over the 'data' axis)
+        use_pallas = jax.default_backend() == "tpu" and (
+            pallas_device_local() or active_mesh() is not None
+        )
     kernel_boxes = None
     if use_pallas:
+        from jax.sharding import PartitionSpec as P
+
         from ..ops.pallas.iou_match_kernel import iou_match_pallas
 
-        max_iou, matched_idx, rescued, kernel_boxes = iou_match_pallas(
+        interp = jax.default_backend() != "tpu"  # CPU tests: interpret mode
+        kernel = data_shard_map(
+            lambda a, b, v: iou_match_pallas(a, b, v, interpret=interp),
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data"), P("data")),
+        )
+        max_iou, matched_idx, rescued, kernel_boxes = kernel(
             anchors, gt.boxes, gt.valid
         )
     else:

@@ -147,4 +147,11 @@ def fused_cascade(
             max_known_candidates=max_known_candidates,
         )
     )
+    # under an engine mesh, run per-device on the batch shard (keeps the
+    # Pallas NMS kernel alive in sharded eval; identity when unsharded)
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import data_shard_map
+
+    fn = data_shard_map(fn, in_specs=(P("data"),) * 5, out_specs=P("data"))
     return fn(raw.boxes, raw.objectness, raw.min_dist, raw.known_probs, raw.valid)

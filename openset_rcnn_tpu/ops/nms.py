@@ -54,8 +54,12 @@ def nms_mask(
     v = valid[order]
 
     if use_pallas is None:
-        # auto: single-chip TPU only (see models/rpn.py note)
-        use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
+        # auto: on TPU when this trace sees one device's data — single chip
+        # or inside a shard_map body (the fused eval cascade shard_maps
+        # itself over the mesh; see models/serving.py)
+        from ..parallel.mesh import pallas_device_local
+
+        use_pallas = jax.default_backend() == "tpu" and pallas_device_local()
     if use_pallas:
         from .pallas.nms_kernel import nms_keep_pallas
 
@@ -73,7 +77,9 @@ def nms_mask(
         sup = jnp.any(suppress_cand[i] & keep)
         return keep.at[i].set(~sup & v[i])
 
-    keep = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    # derive the init from v so it inherits v's varying-manual-axes type
+    # when this runs inside a shard_map body (the sharded eval cascade)
+    keep = jax.lax.fori_loop(0, n, body, v & jnp.zeros((n,), bool))
     return NMSResult(order=order, keep=keep)
 
 

@@ -361,9 +361,13 @@ def multilevel_roi_align_batched(
 
     strides_t = tuple(strides)
 
+    interp = jax.default_backend() != "tpu"  # CPU tests: interpret mode
+
     @jax.custom_vjp
     def _hybrid(fs, bx):
-        return roi_align_pallas_v2(list(fs), bx, strides_t, out_size, sampling_ratio)
+        return roi_align_pallas_v2(
+            list(fs), bx, strides_t, out_size, sampling_ratio, interpret=interp
+        )
 
     def _fwd(fs, bx):
         return _hybrid(fs, bx), (fs, bx)
@@ -372,7 +376,8 @@ def multilevel_roi_align_batched(
         fs, bx = res
         if bwd_impl == "pallas":
             dfs = roi_align_pallas_v2_bwd(
-                list(fs), bx, g, strides_t, out_size, sampling_ratio
+                list(fs), bx, g, strides_t, out_size, sampling_ratio,
+                interpret=interp,
             )
             dfs = tuple(d.astype(f.dtype) for d, f in zip(dfs, fs))
         else:

@@ -58,3 +58,105 @@ def batch_sharding(mesh: Mesh):
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Active-mesh registry: lets Pallas call-sites wrap themselves in shard_map.
+#
+# XLA cannot partition a pallas_call (a custom call) across a GSPMD-sharded
+# batch — it would replicate the kernel's inputs onto every device. The
+# engine therefore records the mesh it jits over; kernel call-sites consult
+# it AT TRACE TIME and wrap the pallas_call in jax.shard_map over the 'data'
+# axis, so each device runs the kernel on its local batch shard (the
+# recommended Pallas+sharding composition). Plain-XLA fallbacks never need
+# the wrap — GSPMD partitions them natively.
+# ---------------------------------------------------------------------------
+_ACTIVE_MESH: Any = None
+
+
+def set_active_mesh(mesh) -> None:
+    """Record (or clear, with None) the mesh the engine is tracing under."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh():
+    return _ACTIVE_MESH
+
+
+class active_mesh_ctx:
+    """Scoped set_active_mesh (the eval path sets its own mesh and must
+    restore the training mesh afterwards — periodic eval runs mid-train)."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self.prev = active_mesh()
+        set_active_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_active_mesh(self.prev)
+
+
+def in_manual_mesh() -> bool:
+    """True when tracing inside a shard_map body: values here are one
+    device's block, so a pallas_call is safe without further wrapping."""
+    m = jax.sharding.get_abstract_mesh()
+    if m.empty:
+        return False
+    try:
+        return all("Manual" in str(t) for t in m.axis_types)
+    except Exception:
+        return True
+
+
+def pallas_device_local() -> bool:
+    """A pallas_call traced HERE operates on a single device's data."""
+    return jax.device_count() == 1 or in_manual_mesh()
+
+
+def data_shard_map(fn, in_specs, out_specs):
+    """shard_map ``fn`` over the active mesh (identity when none is active
+    or we are already inside a shard_map body)."""
+    mesh = active_mesh()
+    if mesh is None or in_manual_mesh():
+        return fn
+    # check_vma=False: pallas_call emits ShapeDtypeStructs without varying-
+    # manual-axes annotations, which the checker (jax>=0.8) rejects; the
+    # in/out specs here are total, so the check adds nothing.
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
+def host_replicated_copy(tree, mesh: Mesh):
+    """Host numpy copy of a (possibly model-sharded, possibly multi-process)
+    pytree: an identity jit with replicated out_shardings allgathers each
+    leaf, after which every process can read it locally."""
+    rep = NamedSharding(mesh, P())
+    gathered = jax.jit(
+        lambda t: t, out_shardings=jax.tree.map(lambda _: rep, tree)
+    )(tree)
+    return jax.tree.map(np.asarray, gathered)
+
+
+def put_host_tree(tree, shard_tree):
+    """Place a host pytree (identical on every process) onto shardings that
+    may span processes.
+
+    Single process: plain device_put. Multi-process: ``jax.device_put``
+    cannot target non-addressable devices, so each process supplies its
+    addressable shards through ``make_array_from_callback`` — every process
+    holds the full host value, the callback slices out the local pieces.
+    This is the state/RNG placement step of the multi-process launch
+    (replaces DDP's implicit parameter broadcast, ref train.py:201-205)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shard_tree)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree, shard_tree)

@@ -25,6 +25,10 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test (minutes)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -113,3 +113,34 @@ def test_initialize_distributed_call_order(monkeypatch):
     # second call is a guarded no-op
     multihost.initialize_distributed("host:1234")
     assert sum(1 for c in calls if c[0] == "init") == 1
+
+
+def test_train_loader_shards_compose_global_batch(tmp_path):
+    """Block sharding: concatenating the per-shard batches reproduces the
+    single-loader global batch exactly (ids, pixels, GT) — the property the
+    2-process parity test (test_multiprocess.py) relies on."""
+    from openset_rcnn_tpu.data import generate_synthetic_dataset
+    from openset_rcnn_tpu.data.loader import TrainLoader
+    from openset_rcnn_tpu.data.transforms import DetectionTransform
+
+    records = generate_synthetic_dataset(
+        str(tmp_path / "synth"), num_images=10, image_hw=(240, 320), num_classes=3, seed=0
+    )
+    tr = DetectionTransform(
+        min_sizes=(128, 160), max_size=256, bucket_hw=(160, 288), max_gt=8, flip=True
+    )
+
+    def first_k(loader, k=4):
+        out = []
+        for (batch, meta), _ in zip(iter(loader), range(k)):
+            out.append((np.asarray(batch.images), np.asarray(batch.gt.boxes), meta.image_ids))
+        return out
+
+    g = first_k(TrainLoader(records, tr, batch_size=4, seed=3))
+    s0 = first_k(TrainLoader(records, tr, batch_size=2, seed=3, shard_id=0, num_shards=2))
+    s1 = first_k(TrainLoader(records, tr, batch_size=2, seed=3, shard_id=1, num_shards=2))
+
+    for (gi, gb, gids), (i0, b0, ids0), (i1, b1, ids1) in zip(g, s0, s1):
+        assert ids0 + ids1 == gids
+        np.testing.assert_array_equal(np.concatenate([i0, i1]), gi)
+        np.testing.assert_array_equal(np.concatenate([b0, b1]), gb)

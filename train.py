@@ -124,10 +124,11 @@ def get_parser():
     parser.add_argument(
         "--eval_type",
         default="openset",
-        choices=["openset", "cls_agn_unk"],
+        choices=["openset", "cls_agn_unk", "proposals"],
         help="evaluation protocol variant (the reference also lists "
         "'Closeset' but its scoring path asserts out; we reject it up "
-        "front)",
+        "front). 'proposals' runs the box-proposals AR task "
+        "(os_coco_evaluation.py:297-334) on the CF-RPN outputs",
     )
     parser.add_argument("--opendet-benchmark", action="store_true")
     parser.add_argument("--num-chips", type=int, default=-1, help="data-parallel chips")
