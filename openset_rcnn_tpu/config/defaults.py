@@ -45,6 +45,8 @@ def get_default_cfg() -> CN:
     _C.MODEL.SWIN = CN()
     _C.MODEL.SWIN.SIZE = "T"  # T | S | B (models/swin.py SWIN_VARIANTS)
     _C.MODEL.SWIN.WINDOW = 7
+    _C.MODEL.SWIN.DROP_PATH_RATE = 0.0  # stochastic depth (public recipe: 0.2);
+                                        # 0.0 = converted-weight parity
 
     _C.MODEL.FPN = CN()
     _C.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]

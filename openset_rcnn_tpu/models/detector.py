@@ -103,6 +103,7 @@ class ModelSpec(NamedTuple):
     roi_align_impl: str
     roi_align_bwd: str = "pallas"
     swin_size: str = "T"
+    swin_drop_path: float = 0.0
     rpn_matcher: str = "auto"  # auto|pallas|xla (TPU.RPN_MATCHER)
 
     @staticmethod
@@ -157,6 +158,7 @@ class ModelSpec(NamedTuple):
             rpn_delta_bias_init=m.RPN.get("DELTA_BIAS_INIT", 0.0),
             resnet_depth=m.RESNETS.DEPTH,
             swin_size=m.SWIN.SIZE,
+            swin_drop_path=m.SWIN.get("DROP_PATH_RATE", 0.0),
             roi_align_impl=cfg.TPU.get("ROI_ALIGN_IMPL", "auto"),
             roi_align_bwd=cfg.TPU.get("ROI_ALIGN_BWD", "pallas"),
             rpn_matcher=cfg.TPU.get("RPN_MATCHER", "auto"),
@@ -199,7 +201,11 @@ class OpensetRCNNModule(nn.Module):
         elif self.spec.backbone_name == "build_swin_fpn_backbone":
             from .swin import SwinTransformer
 
-            self.backbone = SwinTransformer(size=self.spec.swin_size, compute_dtype=dtype)
+            self.backbone = SwinTransformer(
+                size=self.spec.swin_size,
+                compute_dtype=dtype,
+                drop_path_rate=self.spec.swin_drop_path,
+            )
             self.fpn = FPN(out_channels=256, compute_dtype=dtype)
         else:
             self.backbone = ResNet(
@@ -316,9 +322,17 @@ def training_losses_and_stats(
     rpn_key, roi_key = jax.random.split(rng)
     linear_tf = Box2BoxTransformLinear(normalize_by_size=True)
     roi_tf = Box2BoxTransform(spec.bbox_reg_weights)
+    # stochastic-depth stream (Swin drop-path); fold_in keeps the existing
+    # rpn/roi sampling streams unchanged. Inference never passes rngs, so
+    # drop-path is a train-only effect.
+    fwd_rngs = (
+        {"dropout": jax.random.fold_in(rng, 7)} if spec.swin_drop_path > 0 else None
+    )
 
     def fwd(p):
-        fpn_feats = module.apply({"params": p}, batch.images, method=OpensetRCNNModule.features)
+        fpn_feats = module.apply(
+            {"params": p}, batch.images, method=OpensetRCNNModule.features, rngs=fwd_rngs
+        )
         deltas, ctrs, _ = module.apply(
             {"params": p}, fpn_feats, method=OpensetRCNNModule.rpn_predictions
         )

@@ -20,9 +20,12 @@ TPU-first choices:
   * attention runs in the trunk compute dtype (bf16-capable) with f32
     softmax via jax.nn.softmax's internal max-subtraction.
 
-Deviations (documented): stochastic depth (drop-path 0.2 in the torch
-recipe) is not applied — the detector does not plumb dropout RNG streams;
-fine-tuning schedules here are short and start from converted weights.
+Stochastic depth (drop-path) follows the torch recipe: per-block rates
+linspace(0, drop_path_rate, total_blocks), per-SAMPLE Bernoulli gating of
+each residual branch scaled by 1/keep_prob. Active only when the caller
+provides a 'dropout' rng stream (the train step does; inference never
+does), so converted-weight eval stays deterministic. Default rate 0.0 =
+reference parity (the reference is R50-only and has no drop-path).
 
 Torch-weight conversion lives in utils/torch_weights.convert_swin_torch
 (official ImageNet checkpoints; the four output-stage norms are new
@@ -133,6 +136,18 @@ class SwinBlock(nn.Module):
     shift: int  # 0 = regular windows, window//2 = shifted
     mlp_ratio: float = 4.0
     compute_dtype: Any = None
+    drop_path: float = 0.0
+
+    def _drop_path(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Stochastic depth on a residual branch (torch timm semantics):
+        per-sample Bernoulli keep, surviving samples scaled by 1/keep.
+        A no-op unless a 'dropout' rng stream is provided (training)."""
+        if self.drop_path <= 0.0 or not self.has_rng("dropout"):
+            return y
+        keep = 1.0 - self.drop_path
+        shape = (y.shape[0],) + (1,) * (y.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, y / keep, jnp.zeros((), y.dtype)).astype(y.dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C)
@@ -160,12 +175,12 @@ class SwinBlock(nn.Module):
         if self.shift:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         y = y[:, :H, :W]
-        x = shortcut + y
+        x = shortcut + self._drop_path(y)
         z = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.compute_dtype)(x)
         z = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1", dtype=self.compute_dtype)(z)
         z = nn.gelu(z, approximate=False)
         z = nn.Dense(self.dim, name="mlp_fc2", dtype=self.compute_dtype)(z)
-        return x + z
+        return x + self._drop_path(z)
 
 
 class PatchMerging(nn.Module):
@@ -192,6 +207,7 @@ class SwinTransformer(nn.Module):
     size: str = "T"
     window: int = 7
     compute_dtype: Any = jnp.float32
+    drop_path_rate: float = 0.0  # public recipe fine-tunes with 0.2
     # test-size overrides; None -> from SWIN_VARIANTS[size]
     embed_dim: int | None = None
     depths: Tuple[int, ...] | None = None
@@ -214,6 +230,10 @@ class SwinTransformer(nn.Module):
         outs = {}
         dim = embed_dim
         n_stages = len(depths)
+        # torch recipe: per-block drop-path rates linspace(0, rate, total)
+        total = sum(depths)
+        dp_rates = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        blk = 0
         for s in range(n_stages):
             for b in range(depths[s]):
                 x = SwinBlock(
@@ -222,8 +242,10 @@ class SwinTransformer(nn.Module):
                     self.window,
                     shift=0 if b % 2 == 0 else self.window // 2,
                     compute_dtype=dt,
+                    drop_path=dp_rates[blk],
                     name=f"stage{s}_block{b}",
                 )(x)
+                blk += 1
             # per-stage output norm (mmdet detection recipe; new params
             # relative to the ImageNet checkpoint)
             outs[f"res{s + 2}"] = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{s}", dtype=dt)(x)

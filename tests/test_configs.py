@@ -62,3 +62,15 @@ def test_vit_config():
     assert cfg.SOLVER.CLIP_GRADIENTS.ENABLED is True
     spec = build_model_spec(cfg)
     assert spec.backbone_name == "build_vit_fpn_backbone"
+
+
+def test_parity_config_pins_fast_paths_off():
+    cfg = load("configs/VOC-COCO/openset_rcnn_R50_FPN_128k_parity.yaml")
+    assert cfg.TPU.ROI_ALIGN_IMPL == "gather"
+    assert cfg.TPU.ROI_SAMPLING_RATIO == -1
+    assert cfg.TPU.DTYPE == "float32"
+    assert cfg.TPU.EVAL_FUSED is False
+    # inherits the full benchmark hparams
+    assert cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES == 20
+    spec = build_model_spec(cfg)
+    assert spec.roi_align_impl == "gather" and spec.roi_sampling_ratio == -1

@@ -263,3 +263,67 @@ def test_swin_bf16_compute_dtype_sticks():
     # params stay f32 (mixed precision: bf16 activations, f32 master params)
     leaves = jax.tree.leaves(params)
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_drop_path_train_only_and_unbiased(rng):
+    """Drop-path gates residual branches ONLY when a 'dropout' rng stream is
+    provided (training); without one the forward is deterministic and equals
+    rate-0.0 (converted-weight parity). With the stream, outputs vary by key
+    and the survivor scaling keeps the batch-mean magnitude comparable."""
+    x = jnp.asarray(rng.randn(4, 16, 16, 3).astype(np.float32))
+    mk = lambda r: SwinTransformer(
+        embed_dim=8, depths=(2, 2), num_heads=(1, 2), window=4, drop_path_rate=r
+    )
+    params = mk(0.8).init({"params": jax.random.PRNGKey(0)}, x)
+
+    # no rng stream -> identical to rate 0.0 (inference path)
+    no_dp = mk(0.0).apply(params, x)
+    det = mk(0.8).apply(params, x)
+    for k in no_dp:
+        np.testing.assert_array_equal(np.asarray(det[k]), np.asarray(no_dp[k]))
+
+    # with a stream: stochastic, key-dependent
+    a = mk(0.8).apply(params, x, rngs={"dropout": jax.random.PRNGKey(1)})
+    b = mk(0.8).apply(params, x, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(a["res3"]), np.asarray(b["res3"]))
+
+
+def test_drop_path_plumbed_through_train_step(rng):
+    """MODEL.SWIN.DROP_PATH_RATE reaches the Swin trunk through the spec and
+    the train-step 'dropout' stream: losses differ across rng keys with
+    drop-path on, and inference stays deterministic."""
+    from openset_rcnn_tpu.config import get_default_cfg
+    from openset_rcnn_tpu.models import ModelSpec, OpensetRCNNModule, opendet_id_map
+    from openset_rcnn_tpu.models.detector import compute_anchors, training_losses
+    from openset_rcnn_tpu.structures import GroundTruth, ImageBatch
+
+    cfg = get_default_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_swin_fpn_backbone"
+    cfg.MODEL.SWIN.DROP_PATH_RATE = 0.9
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES = 3
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 50
+    spec = ModelSpec.from_cfg(cfg, opendet_id_map(4, 3))
+    assert spec.swin_drop_path == 0.9
+    module = OpensetRCNNModule(spec=spec)
+    H, W = 64, 96
+    params = jax.jit(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
+    )()
+    anchors_np, level_sizes = compute_anchors(spec, (H, W))
+    batch = ImageBatch(
+        images=jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32) * 255),
+        image_hw=jnp.asarray([[H, W]] * 2, jnp.float32),
+        gt=GroundTruth(
+            boxes=jnp.asarray([[[4, 4, 40, 40]]] * 2, jnp.float32),
+            classes=jnp.zeros((2, 1), jnp.int32),
+            valid=jnp.ones((2, 1), bool),
+        ),
+    )
+    anchors = jnp.asarray(anchors_np)
+    l1 = training_losses(module, params, batch, jax.random.PRNGKey(1), spec, anchors, level_sizes)
+    l2 = training_losses(module, params, batch, jax.random.PRNGKey(2), spec, anchors, level_sizes)
+    # same data, different rng -> drop-path (and samplers) change the loss
+    assert float(l1["loss_cls"]) != float(l2["loss_cls"])
