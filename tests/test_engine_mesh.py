@@ -144,3 +144,40 @@ def test_train_loader_shards_compose_global_batch(tmp_path):
         assert ids0 + ids1 == gids
         np.testing.assert_array_equal(np.concatenate([i0, i1]), gi)
         np.testing.assert_array_equal(np.concatenate([b0, b1]), gb)
+
+
+def test_train_loader_mixed_aspect_blocks_are_homogeneous(tmp_path):
+    """Aspect grouping runs on record metadata: every emitted batch is
+    bucket-homogeneous, both orientations flow, and the grouping decision
+    is identical on every shard (no per-process divergence)."""
+    from openset_rcnn_tpu.data import generate_synthetic_dataset
+    from openset_rcnn_tpu.data.loader import TrainLoader
+    from openset_rcnn_tpu.data.transforms import DetectionTransform
+
+    land = generate_synthetic_dataset(
+        str(tmp_path / "l"), num_images=6, image_hw=(240, 320), num_classes=3, seed=0
+    )
+    port = generate_synthetic_dataset(
+        str(tmp_path / "p"), num_images=6, image_hw=(320, 240), num_classes=3, seed=1
+    )
+    for i, r in enumerate(port):  # unique ids across the merged set
+        r["image_id"] = 100 + i
+    records = land + port
+    tr = DetectionTransform(
+        min_sizes=(128,), max_size=256, bucket_hw=(160, 288), max_gt=8, flip=False
+    )
+
+    loader = TrainLoader(records, tr, batch_size=2, seed=5)
+    seen = set()
+    for (batch, meta), _ in zip(iter(loader), range(8)):
+        assert meta.bucket_hw in ((160, 288), (288, 160))
+        assert batch.images.shape[1:3] == meta.bucket_hw
+        seen.add(meta.bucket_hw)
+    assert seen == {(160, 288), (288, 160)}
+
+    # shard composition matches the global stream for mixed aspects too
+    g = [m.image_ids for (_, m), _ in zip(iter(TrainLoader(records, tr, 4, seed=5)), range(4))]
+    s0 = [m.image_ids for (_, m), _ in zip(iter(TrainLoader(records, tr, 2, seed=5, shard_id=0, num_shards=2)), range(4))]
+    s1 = [m.image_ids for (_, m), _ in zip(iter(TrainLoader(records, tr, 2, seed=5, shard_id=1, num_shards=2)), range(4))]
+    for gb, a, b in zip(g, s0, s1):
+        assert a + b == gb
