@@ -110,3 +110,35 @@ def test_train_eval_checkpoint_roundtrip(tmp_path):
     for key in ("WI", "AOSE", "AP@K", "AP@U", "R@K", "mAP"):
         assert key in res
         assert np.isfinite(res[key])
+
+
+@pytest.mark.slow
+def test_swin_finetune_smoke(tmp_path):
+    """Fine-tune smoke with the Swin-T trunk + stochastic depth active
+    (VERDICT r2 stretch): the full engine train loop runs with the 'dropout'
+    rng stream live, losses stay finite, and the loss decreases — i.e. the
+    drop-path path is trainable end-to-end, not just plumbed."""
+    from openset_rcnn_tpu.engine.train_loop import do_train
+
+    register_synth(tmp_path)
+    cfg = make_cfg(tmp_path)
+    cfg.MODEL.BACKBONE.NAME = "build_swin_fpn_backbone"
+    cfg.MODEL.SWIN.SIZE = "T"
+    cfg.MODEL.SWIN.DROP_PATH_RATE = 0.1
+    # smaller shapes than the R50 smoke: Swin attention is heavy on CPU
+    cfg.SOLVER.MAX_ITER = 30
+    cfg.SOLVER.CHECKPOINT_PERIOD = 30
+    cfg.INPUT.MIN_SIZE_TRAIN = (96,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.TPU.TRAIN_BUCKET = (128, 160)
+
+    state = do_train(cfg)
+    assert int(state.step) == 30
+
+    lines = [json.loads(l) for l in open(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))]
+    totals = {l["iteration"]: l["total_loss"] for l in lines if "total_loss" in l}
+    assert all(np.isfinite(v) for v in totals.values())
+    first, last = min(totals), max(totals)
+    assert first < last and totals[last] < totals[first], (
+        f"loss did not decrease: {totals}"
+    )
