@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 H, W = 832, 1344
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # match bench.py's default
 
 
 def build():
@@ -34,6 +35,7 @@ def build():
     cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES = 20
     cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
     cfg.OPENDET_BENCHMARK = True
+    cfg.TPU.DTYPE = DTYPE
     spec = ModelSpec.from_cfg(cfg, opendet_id_map(81, 20))
     module = OpensetRCNNModule(spec=spec)
     params = jax.jit(

@@ -63,13 +63,20 @@ def main():
     print(f"iou_match shard_map(pallas) vs xla: max diffs {diffs}  ({t1-t0:.1f}s incl compile)")
 
     # ---- Pallas RoIAlign fwd+bwd under shard_map ----
-    C, S = 64, 128
+    # C must be the production 256: Mosaic's in-kernel (7, 7*C) -> (1,7,7,C)
+    # reshape needs the lane (last) dim >= 128 ("unsupported shape cast" at
+    # C=64 — toy channel counts don't validate anything real anyway).
+    C, S = 256, 128
     feats = {
         f"p{i+2}": jnp.asarray(rng.randn(B, 208 // 2**i, 336 // 2**i, C).astype(np.float32))
         for i in range(4)
     }
     bxy = rng.uniform(0, 500, (B, S, 2)).astype(np.float32)
     bwh = rng.uniform(16, 250, (B, S, 2)).astype(np.float32)
+    # keep aspect <= 3: the pallas kernel level-bumps aspect>3.6 boxes by
+    # design (CLAUDE.md known deviations), which would dominate a
+    # pallas-vs-gather diff; the deviation itself is covered by unit tests.
+    bwh[..., 1] = np.clip(bwh[..., 1], bwh[..., 0] / 3.0, bwh[..., 0] * 3.0)
     boxes = jnp.asarray(np.concatenate([bxy, bxy + bwh], -1))
 
     def run(impl, mesh_or_none):
@@ -85,10 +92,14 @@ def main():
     t0 = time.perf_counter()
     v_ref, g_ref = run("gather", None)
     v_got, g_got = run("pallas", mesh)
+    v_uns, g_uns = run("pallas", None)  # unsharded kernel: shard_map no-op?
     t1 = time.perf_counter()
     gd = max(float(np.max(np.abs(g_ref[k] - g_got[k]))) for k in feats)
+    sd = max(float(np.max(np.abs(g_uns[k] - g_got[k]))) for k in feats)
     print(f"roi_align shard_map(pallas) vs gather: |val| diff {abs(v_ref-v_got):.3e} "
           f"rel {abs(v_ref-v_got)/abs(v_ref):.2e}, max grad diff {gd:.3e}  ({t1-t0:.1f}s)")
+    print(f"roi_align shard_map(pallas) vs UNSHARDED pallas: |val| diff "
+          f"{abs(v_uns-v_got):.3e}, max grad diff {sd:.3e}  (must be 0)")
 
 
 if __name__ == "__main__":
