@@ -141,7 +141,7 @@ class TrainLoader:
             bh, bw = bw, bh
         mg = self.transform.max_gt
         return TransformedExample(
-            image=np.zeros((bh, bw, 3), np.float32),
+            image=np.zeros((bh, bw, 3), np.uint8),
             image_hw=(bh, bw),
             original_hw=(bh, bw),
             bucket_hw=(bh, bw),

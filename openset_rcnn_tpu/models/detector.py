@@ -229,9 +229,13 @@ class OpensetRCNNModule(nn.Module):
         self.classifier = KnownClassifier(num_known_classes=self.spec.num_known_classes)
 
     def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        # The loader ships uint8 pixels (4x less host->device traffic than
+        # f32; the decoded/resized image is uint8 anyway — reference
+        # semantics, d2 DatasetMapper keeps uint8 until the model). The
+        # widening cast runs on device and fuses into the normalize.
         mean = jnp.asarray(self.spec.pixel_mean)
         std = jnp.asarray(self.spec.pixel_std)
-        return (images - mean) / std
+        return (images.astype(jnp.float32) - mean) / std
 
     def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         x = self.preprocess(images)
