@@ -95,6 +95,22 @@ def summarize(out_dir: str, top: int = 30):
     print(f"total device op time: {tot/1e9:.2f} ms (all steps)")
     for name, ps in rows:
         print(f"{ps/1e9:9.2f} ms  {100*ps/tot:5.1f}%  {name[:120]}")
+    # grouped view: fold HLO instruction names into op families so the
+    # breakdown is readable (copy-start/-done are async and overlap compute —
+    # their "duration" includes wait time, so treat the group as an upper
+    # bound, not real busy time).
+    import re
+
+    groups = {}
+    for name, ps in totals.items():
+        m = re.match(r"%?([a-zA-Z_-]+?)[.\d]*\s*=", name) or re.match(r"%?([a-zA-Z_-]+)", name)
+        key = m.group(1) if m else name
+        if "fusion" in key:
+            key = "fusion"
+        groups[key] = groups.get(key, 0) + ps
+    print("\nby op family:")
+    for key, ps in sorted(groups.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{ps/1e9:9.2f} ms  {100*ps/tot:5.1f}%  {key}")
 
 
 def main():

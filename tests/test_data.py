@@ -128,3 +128,39 @@ def test_builtin_registration():
     assert "voc_2007_train" in names
     assert MetadataCatalog.get("graspnet_train").evaluator_type == "coco"
     assert MetadataCatalog.get("voc_coco_20_40_test").evaluator_type == "pascal_voc"
+
+
+def test_uint8_transport_is_lossless(tmp_path, rng):
+    """Images travel host->device as uint8 (4x less transfer); the device-
+    side f32 widening in preprocess must make the model output bit-identical
+    to feeding f32 directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from openset_rcnn_tpu.config import get_default_cfg
+    from openset_rcnn_tpu.models import ModelSpec, OpensetRCNNModule, opendet_id_map
+
+    records = generate_synthetic_dataset(str(tmp_path), num_images=1, image_hw=(80, 120))
+    tr = DetectionTransform(
+        min_sizes=(64,), max_size=96, bucket_hw=(64, 96), max_gt=4, flip=False
+    )
+    ex = tr(records[0], np.random.RandomState(0))
+    assert ex.image.dtype == np.uint8
+
+    cfg = get_default_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES = 3
+    spec = ModelSpec.from_cfg(cfg, opendet_id_map(4, 3))
+    module = OpensetRCNNModule(spec=spec)
+    params = jax.jit(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))["params"]
+    )()
+
+    feats_u8 = jax.jit(
+        lambda im: module.apply({"params": params}, im, method=OpensetRCNNModule.features)
+    )(jnp.asarray(ex.image[None]))
+    feats_f32 = jax.jit(
+        lambda im: module.apply({"params": params}, im, method=OpensetRCNNModule.features)
+    )(jnp.asarray(ex.image[None].astype(np.float32)))
+    for k in feats_u8:
+        np.testing.assert_array_equal(np.asarray(feats_u8[k]), np.asarray(feats_f32[k]))
