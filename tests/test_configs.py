@@ -74,3 +74,48 @@ def test_parity_config_pins_fast_paths_off():
     assert cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES == 20
     spec = build_model_spec(cfg)
     assert spec.roi_align_impl == "gather" and spec.roi_sampling_ratio == -1
+
+
+def test_reference_config_extension_keys_all_exist():
+    """Every key the reference's add_openset_rcnn_config defines
+    (/root/reference/openset_rcnn/config/config.py:10-43) exists in our
+    default tree with the same default value — pins the 'reference yamls
+    port 1:1' claim structurally."""
+    ref_defaults = {
+        "OPENDET_BENCHMARK": False,
+        "MODEL.RPN.CTR_REG_LOSS_WEIGHT": 1.0,
+        "MODEL.RPN.CTR_REG_LOSS_TYPE": "smooth_l1",
+        "MODEL.RPN.CTR_SMOOTH_L1_BETA": 0.0,
+        "MODEL.RPN.IOU_THRESHOLDS_OBJECTNESS": [0.1, 0.3],
+        "MODEL.RPN.POSITIVE_FRACTION_OBJECTNESS": 1.0,
+        "MODEL.RPN.NMS_THRESH_TEST": 1.0,
+        "MODEL.ROI_BOX_HEAD.IOU_REG_LOSS_WEIGHT": 1.0,
+        "MODEL.ROI_BOX_HEAD.IOU_REG_LOSS_TYPE": "smooth_l1",
+        "MODEL.ROI_BOX_HEAD.IOU_SMOOTH_L1_BETA": 0.0,
+        "MODEL.ROI_BOX_HEAD.CLS_LOSS_WEIGHT": 1.0,
+        "MODEL.ROI_HEADS.MEAN_TYPE": "geometric",
+        "MODEL.ROI_HEADS.OBJ_SCORE_THRESH_TEST": 0.05,
+        "MODEL.ROI_HEADS.NUM_KNOWN_CLASSES": 20,
+        "MODEL.ROI_HEADS.KNOWN_SCORE_THRESH": 0.05,
+        "MODEL.ROI_HEADS.KNOWN_NMS_THRESH": 0.5,
+        "MODEL.ROI_HEADS.KNOWN_TOPK": 1000,
+        "MODEL.ROI_HEADS.UNKNOWN_SCORE_THRESH": 0.05,
+        "MODEL.ROI_HEADS.UNKNOWN_NMS_THRESH": 0.5,
+        "MODEL.ROI_HEADS.UNKNOWN_TOPK": 1000,
+        "MODEL.ROI_HEADS.UNKNOWN_ID": 1000,
+        "MODEL.PLN.EMD_DIM": 256,
+        "MODEL.PLN.DISTANCE_TYPE": "COS",
+        "MODEL.PLN.REPS_PER_CLASS": 1,
+        "MODEL.PLN.ALPHA": 0.1,
+        "MODEL.PLN.BETA": 0.9,
+        "MODEL.PLN.IOU_THRESHOLD": 0.5,
+        "MODEL.PLN.UNK_THR": 0.4,
+        "MODEL.PLN.LOSS_WEIGHT": 2.0,
+    }
+    cfg = get_default_cfg()
+    for dotted, want in ref_defaults.items():
+        node = cfg
+        for part in dotted.split("."):
+            assert part in node, f"missing reference config key: {dotted}"
+            node = node[part]
+        assert node == want, f"{dotted}: default {node!r} != reference {want!r}"
