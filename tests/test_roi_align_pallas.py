@@ -67,15 +67,20 @@ def test_pallas_v2_forward_matches_gather(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
-    # the box distribution must exercise BOTH window classes
-    from openset_rcnn_tpu.ops.pallas.roi_align_v2 import _pad_levels, _window_members
+    # the box distribution must exercise the smallest AND largest window
+    # classes (each RoI is assigned exactly one class id)
+    from openset_rcnn_tpu.ops.pallas.roi_align_v2 import (
+        WINDOWS,
+        _class_geometry,
+        _pad_levels,
+    )
 
     real_hw = [(h, w) for h, w in sizes]
-    _, members, _ = _window_members(
+    geo = _class_geometry(
         real_hw, _pad_levels(real_hw), strides, bj.reshape(-1, 4), 7, 2, 4, B, R
     )
-    counts = [int(m.sum()) for m in members]
-    assert all(c > 0 for c in counts), counts
+    counts = [int((geo["cls"] == k).sum()) for k in range(len(WINDOWS))]
+    assert counts[0] > 0 and counts[-1] > 0, counts
     assert sum(counts) == B * R, counts
 
 
@@ -87,6 +92,33 @@ def test_pallas_backward_matches_gather_vjp(rng):
 
     sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]
     C, B, R = 32, 2, 12
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32)) for h, w in sizes]
+    bj = jnp.asarray(_mixed_window_boxes(rng, B, R))
+    g = jnp.asarray(rng.randn(B, R, 7, 7, C).astype(np.float32))
+
+    got = roi_align_pallas_v2_bwd(feats, bj, g, strides, interpret=True)
+
+    def f(fs):
+        return jax.vmap(
+            lambda fl, bb: _multilevel_roi_align_gather(list(fl), bb, strides)
+        )(fs, bj)
+
+    _, vjp = jax.vjp(f, tuple(feats))
+    (want,) = vjp(g)
+    for lvl, (a, b) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"level {lvl}"
+        )
+
+
+def test_pallas_backward_single_image(rng):
+    """B=1 takes the serialized (non-pipelined) RMW path — the deferred
+    write-back requires consecutive programs from different images."""
+    from openset_rcnn_tpu.ops.pallas.roi_align_v2 import roi_align_pallas_v2_bwd
+
+    sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]
+    C, B, R = 32, 1, 9
     strides = [4, 8, 16, 32]
     feats = [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32)) for h, w in sizes]
     bj = jnp.asarray(_mixed_window_boxes(rng, B, R))
