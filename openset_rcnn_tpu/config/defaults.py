@@ -48,6 +48,12 @@ def get_default_cfg() -> CN:
     _C.MODEL.SWIN.DROP_PATH_RATE = 0.0  # stochastic depth (public recipe: 0.2);
                                         # 0.0 = converted-weight parity
 
+    # ViT backbone (BASELINE stretch; ViTDet simple-FPN recipe —
+    # selected via MODEL.BACKBONE.NAME build_vit_fpn_backbone)
+    _C.MODEL.VIT = CN()
+    _C.MODEL.VIT.DROP_PATH_RATE = 0.0  # ViTDet-B fine-tune recipe: 0.1;
+                                       # 0.0 = converted-weight parity
+
     _C.MODEL.FPN = CN()
     _C.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
     _C.MODEL.FPN.OUT_CHANNELS = 256
@@ -206,6 +212,8 @@ def get_default_cfg() -> CN:
                                            # eval batch over gcd(EVAL_BATCH_SIZE,
                                            # n_devices) chips
                                            #  (False: exact host cascade oracle)
+    _C.TPU.RESIZE_INTERP = "pil"           # pil (reference-exact PIL BILINEAR,
+                                           #  antialiased downsample) | cv2
     _C.TPU.DTYPE = "float32"               # compute dtype for conv trunk
     _C.TPU.REMAT = False                   # rematerialize backbone blocks
     _C.TPU.MESH_DATA = 1                   # data-parallel axis size (-1: all devices;

@@ -30,11 +30,47 @@ class TransformedExample:
 
 
 def resize_shortest_edge(h: int, w: int, short: int, max_size: int) -> Tuple[int, int]:
-    """d2 ResizeShortestEdge output size."""
-    scale = short / min(h, w)
-    if max(h, w) * scale > max_size:
-        scale = max_size / max(h, w)
-    return int(h * scale + 0.5), int(w * scale + 0.5)
+    """d2 ResizeShortestEdge output size.
+
+    Mirrors detectron2 ``ResizeShortestEdge.get_output_shape`` operation-for-
+    operation (short side set to ``short`` FIRST, then the max-size cap is
+    applied to the already-scaled pair) so float rounding of the +0.5 cast
+    cannot drift from the reference on edge cases.
+    """
+    size = float(short)
+    scale = size / min(h, w)
+    if h < w:
+        newh, neww = size, scale * w
+    else:
+        newh, neww = scale * h, size
+    if max(newh, neww) > max_size:
+        scale = max_size * 1.0 / max(newh, neww)
+        newh = newh * scale
+        neww = neww * scale
+    return int(newh + 0.5), int(neww + 0.5)
+
+
+def resize_image(img: np.ndarray, nh: int, nw: int, interp: str) -> np.ndarray:
+    """Resize a (H, W, 3) uint8 image to (nh, nw).
+
+    interp="pil" reproduces the reference preprocessing exactly: d2's
+    ``ResizeTransform.apply_image`` routes uint8 images through
+    ``PIL.Image.resize(..., Image.BILINEAR)``, whose downsampling filter
+    widens its support by the scale factor (antialiasing). cv2's
+    INTER_LINEAR keeps a fixed 2x2 tap, so the two produce different pixels
+    whenever scale < 1 — the reference-parity drift suspect VERDICT r3
+    named. interp="cv2" keeps the (slightly faster) OpenCV path for
+    throughput-only runs.
+    """
+    if (nh, nw) == img.shape[:2]:
+        return img
+    if interp == "pil":
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+    if interp == "cv2":
+        return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    raise ValueError(f"unknown resize interp {interp!r} (expected 'pil' or 'cv2')")
 
 
 class DetectionTransform:
@@ -46,10 +82,12 @@ class DetectionTransform:
         max_gt: int,
         flip: bool,
         fmt: str = "BGR",
+        interp: str = "pil",
     ):
         self.min_sizes = tuple(min_sizes)
         self.max_size = max_size
         self.bucket_hw = tuple(bucket_hw)
+        self.interp = interp
         # GeneralizedRCNN pads to backbone size-divisibility (SURVEY.md §2.4)
         assert bucket_hw[0] % 32 == 0 and bucket_hw[1] % 32 == 0, (
             f"bucket {bucket_hw} must be divisible by 32"
@@ -72,7 +110,7 @@ class DetectionTransform:
 
         short = self.min_sizes[rng.randint(len(self.min_sizes))] if len(self.min_sizes) > 1 else self.min_sizes[0]
         nh, nw = resize_shortest_edge(oh, ow, short, self.max_size)
-        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        img = resize_image(img, nh, nw, self.interp)
 
         boxes = np.asarray(
             [a["bbox"] for a in record.get("annotations", [])], np.float32

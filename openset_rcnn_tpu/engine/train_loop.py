@@ -195,6 +195,7 @@ def do_test(cfg: CfgNode, module, params, spec, datasets=None, eval_type: str = 
                 max_gt=cfg.TPU.MAX_GT_PER_IMAGE,
                 flip=False,
                 fmt=cfg.INPUT.FORMAT,
+                interp=cfg.TPU.RESIZE_INTERP,
             )
             results = {}
             for name in datasets or cfg.DATASETS.TEST:
@@ -221,6 +222,7 @@ def do_test(cfg: CfgNode, module, params, spec, datasets=None, eval_type: str = 
             max_gt=cfg.TPU.MAX_GT_PER_IMAGE,
             flip=False,
             fmt=cfg.INPUT.FORMAT,
+            interp=cfg.TPU.RESIZE_INTERP,
         )
 
         results = {}
@@ -316,6 +318,7 @@ def do_train(cfg: CfgNode, resume: bool = False, profile_steps: int = 0, debug_n
         max_gt=cfg.TPU.MAX_GT_PER_IMAGE,
         flip=cfg.INPUT.RANDOM_FLIP == "horizontal",
         fmt=cfg.INPUT.FORMAT,
+        interp=cfg.TPU.RESIZE_INTERP,
     )
     # Multi-process: each host loads its slice of the global batch
     # (d2 per-GPU loader semantics — global IMS_PER_BATCH / world_size).

@@ -62,6 +62,9 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.nda
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
+_GREEDY_NATIVE_WARNED = False
+
+
 def greedy_match(
     ious: np.ndarray,       # (D, G) detections already score-sorted
     gt_ignore: np.ndarray,  # (G,) 0/1, already sorted ignore-last
@@ -77,8 +80,21 @@ def greedy_match(
         from .evalcore_binding import greedy_match_native
 
         return greedy_match_native(ious, gt_ignore, iscrowd, iou_thrs)
-    except Exception:
+    except (ImportError, OSError, RuntimeError):
+        # expected: extension not built / toolchain absent -> numpy fallback
         pass
+    except Exception:
+        # unexpected (layout/binding bug): still fall back, but say so once
+        # instead of silently degrading every eval to the slower path
+        global _GREEDY_NATIVE_WARNED
+        if not _GREEDY_NATIVE_WARNED:
+            _GREEDY_NATIVE_WARNED = True
+            import logging, traceback
+
+            logging.getLogger(__name__).warning(
+                "native greedy_match failed unexpectedly; using numpy "
+                "fallback:\n%s", traceback.format_exc()
+            )
     D, G = ious.shape
     T = len(iou_thrs)
     dtm = np.zeros((T, D), bool)

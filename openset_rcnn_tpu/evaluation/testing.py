@@ -136,7 +136,9 @@ class CompiledProposals:
             tf = Box2BoxTransformLinear(normalize_by_size=True)
 
             def fn(params, images, image_hw):
-                feats = module.apply({"params": params}, images, method=M.features)
+                feats = module.apply(
+                    {"params": params}, images, image_hw, method=M.features
+                )
                 deltas, ctrs, _ = module.apply(
                     {"params": params}, feats, method=M.rpn_predictions
                 )

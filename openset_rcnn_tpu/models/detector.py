@@ -14,7 +14,7 @@ jit (SURVEY.md §2.3).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -104,6 +104,7 @@ class ModelSpec(NamedTuple):
     roi_align_bwd: str = "pallas"
     swin_size: str = "T"
     swin_drop_path: float = 0.0
+    vit_drop_path: float = 0.0
     rpn_matcher: str = "auto"  # auto|pallas|xla (TPU.RPN_MATCHER)
 
     @staticmethod
@@ -159,6 +160,9 @@ class ModelSpec(NamedTuple):
             resnet_depth=m.RESNETS.DEPTH,
             swin_size=m.SWIN.SIZE,
             swin_drop_path=m.SWIN.get("DROP_PATH_RATE", 0.0),
+            vit_drop_path=(
+                m.VIT.get("DROP_PATH_RATE", 0.0) if "VIT" in m else 0.0
+            ),
             roi_align_impl=cfg.TPU.get("ROI_ALIGN_IMPL", "auto"),
             roi_align_bwd=cfg.TPU.get("ROI_ALIGN_BWD", "pallas"),
             rpn_matcher=cfg.TPU.get("RPN_MATCHER", "auto"),
@@ -196,7 +200,9 @@ class OpensetRCNNModule(nn.Module):
         num_anchors = len(self.spec.anchor_aspect_ratios) * len(self.spec.anchor_sizes[0])
         if self.spec.backbone_name == "build_vit_fpn_backbone":
             # ViTDet-style trunk emits the pyramid directly (models/vit.py)
-            self.backbone = ViTSimpleFPN(compute_dtype=dtype)
+            self.backbone = ViTSimpleFPN(
+                compute_dtype=dtype, drop_path_rate=self.spec.vit_drop_path
+            )
             self.fpn = None
         elif self.spec.backbone_name == "build_swin_fpn_backbone":
             from .swin import SwinTransformer
@@ -228,17 +234,42 @@ class OpensetRCNNModule(nn.Module):
         )
         self.classifier = KnownClassifier(num_known_classes=self.spec.num_known_classes)
 
-    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+    def preprocess(
+        self, images: jnp.ndarray, image_hw: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         # The loader ships uint8 pixels (4x less host->device traffic than
         # f32; the decoded/resized image is uint8 anyway — reference
         # semantics, d2 DatasetMapper keeps uint8 until the model). The
         # widening cast runs on device and fuses into the normalize.
+        #
+        # Padding semantics: d2 normalizes FIRST, then ImageList.from_tensors
+        # pads with 0.0 (GeneralizedRCNN.preprocess_image), so the reference's
+        # pad region is exactly 0.0 post-normalization (= the mean pixel).
+        # Our loader pads the uint8 buffer with 0, which would normalize to
+        # -mean/std (~ -100 with PIXEL_STD=1) — a large spurious border
+        # inside every conv receptive field near the image edge. Masking the
+        # pad region back to 0.0 reproduces d2's pad value exactly. The one
+        # remaining (unavoidable, static-shape) difference is canvas SIZE:
+        # d2 pads to /32 of the per-batch max, we pad to the bucket; d2
+        # itself changes edge features when batch composition changes the
+        # canvas, so pad value — not canvas — is the load-bearing semantic.
         mean = jnp.asarray(self.spec.pixel_mean)
         std = jnp.asarray(self.spec.pixel_std)
-        return (images.astype(jnp.float32) - mean) / std
+        x = (images.astype(jnp.float32) - mean) / std
+        if image_hw is not None:
+            H, W = images.shape[1:3]
+            ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+            xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+            m = (ys < image_hw[:, 0][:, None, None]) & (
+                xs < image_hw[:, 1][:, None, None]
+            )
+            x = jnp.where(m[..., None], x, 0.0)
+        return x
 
-    def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        x = self.preprocess(images)
+    def features(
+        self, images: jnp.ndarray, image_hw: Optional[jnp.ndarray] = None
+    ) -> Dict[str, jnp.ndarray]:
+        x = self.preprocess(images, image_hw)
         if self.fpn is None:
             return self.backbone(x)
         return self.fpn(self.backbone(x))
@@ -330,12 +361,15 @@ def training_losses_and_stats(
     # rpn/roi sampling streams unchanged. Inference never passes rngs, so
     # drop-path is a train-only effect.
     fwd_rngs = (
-        {"dropout": jax.random.fold_in(rng, 7)} if spec.swin_drop_path > 0 else None
+        {"dropout": jax.random.fold_in(rng, 7)}
+        if spec.swin_drop_path > 0 or spec.vit_drop_path > 0
+        else None
     )
 
     def fwd(p):
         fpn_feats = module.apply(
-            {"params": p}, batch.images, method=OpensetRCNNModule.features, rngs=fwd_rngs
+            {"params": p}, batch.images, batch.image_hw,
+            method=OpensetRCNNModule.features, rngs=fwd_rngs,
         )
         deltas, ctrs, _ = module.apply(
             {"params": p}, fpn_feats, method=OpensetRCNNModule.rpn_predictions
@@ -445,7 +479,9 @@ def inference_forward(
     linear_tf = Box2BoxTransformLinear(normalize_by_size=True)
     roi_tf = Box2BoxTransform(spec.bbox_reg_weights)
 
-    fpn_feats = module.apply({"params": params}, images, method=OpensetRCNNModule.features)
+    fpn_feats = module.apply(
+        {"params": params}, images, image_hw, method=OpensetRCNNModule.features
+    )
     pred_deltas, pred_ctr, _ = module.apply(
         {"params": params}, fpn_feats, method=OpensetRCNNModule.rpn_predictions
     )

@@ -41,6 +41,14 @@ writes the class-sized window into a per-level f32 HBM accumulator. The
 RMW is race-free because the TPU grid runs sequentially on the core
 (dimension_semantics "arbitrary"); replaces XLA's row scatter-add, the
 single largest device cost of the train step (PERFORMANCE.md).
+
+CI BLIND SPOT (DMA ordering): pytest exercises these kernels only in
+interpret mode, where every async copy completes synchronously — the
+forward 2-slot prefetch ordering and the backward distance-2 deferred
+write drain are NOT validated by the test suite. Any change to the DMA
+pipeline (slot rotation, semaphore indexing, wait placement) MUST re-run
+the on-chip exact-vs-gather check (scripts/exp_shardmap_tpu.py; see
+PERFORMANCE.md "Pallas kernels under shard_map") before shipping.
 """
 from __future__ import annotations
 
@@ -66,6 +74,14 @@ CHUNK = 4096  # 3 flattened (CHUNK*14,) SMEM arrays + 6 (CHUNK,) stay <1 MB
 # window traffic 35% of an all-catch-all kernel; measured bwd 50.7 ->
 # 45.5 ms at 16x512 RoIs, forward is prefetch-hidden and unchanged).
 WINDOWS = ((24, 32), (32, 40), (40, 48), (WIN_Y, WIN_X))
+
+# The scalar `pack` gives y0r and x0r 6 bits each (y0r | x0r<<6 | ok<<12/13):
+# every in-window coordinate must stay < 64 or x0r would alias into the y_ok
+# bit and silently corrupt the bilinear weights. Guard the invariant at
+# import so growing WINDOWS/MAX_EXTENT fails loudly instead.
+assert all(wy <= 64 and wx <= 64 for wy, wx in WINDOWS), (
+    f"window extents {WINDOWS} must fit the 6-bit pack fields (<= 64)"
+)
 
 
 def _pad_levels(feats_shapes):
@@ -166,10 +182,10 @@ def _kernel(
         bx_i = pl.multiple_of(bx_ref[idx], 8)
         for k, (wy, wx) in enumerate(windows):
             @pl.when(cls_ref[idx] == k)
-            def _():
+            def _(wy=wy, wx=wx):
                 for li, f_ref in enumerate(frefs):
                     @pl.when(lvl_i == li)
-                    def _():
+                    def _(f_ref=f_ref):
                         op(pltpu.make_async_copy(
                             f_ref.at[pl.ds(gy_i, wy), pl.ds(bx_i, wx), :],
                             win_ref.at[sl, :wy, :wx],

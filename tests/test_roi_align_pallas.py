@@ -30,22 +30,35 @@ def test_pallas_matches_gather(rng):
 
 
 def _mixed_window_boxes(rng, B, R):
-    """Boxes spanning BOTH v2 window classes: the first half are ordinary
-    aspect-0.6..1.8 RoIs (32x40 class); the second half sit at level 0 with
-    x-extent ~33..47 cells — above the small window, below the level-bump
-    bound (MAX_EXTENT=50), so pallas == gather still holds."""
-    n_small = R // 2
-    ar = rng.uniform(0.6, 1.8, (B, n_small))
-    area = rng.uniform(10**2, 150**2, (B, n_small))
-    w = np.sqrt(area * ar)
-    h = np.sqrt(area / ar)
-    n_wide = R - n_small
-    w2 = rng.uniform(135, 190, (B, n_wide))  # stride 4 -> extent 33..47
-    h2 = rng.uniform(40, 70, (B, n_wide))    # keeps sqrt(area) < 112 (level 0)
-    w = np.concatenate([w, w2], 1)
-    h = np.concatenate([h, h2], 1)
-    cx = rng.uniform(0, 384, (B, R))
-    cy = rng.uniform(0, 256, (B, R))
+    """Boxes spanning ALL FOUR v2 window classes (24x32 / 32x40 / 40x48 /
+    56x64), all below the level-bump bound so pallas == gather still holds.
+
+    Class selection is driven by the *y*-extent at level 0 (stride 4): the
+    y axis has no base-alignment slack, so a feature-cell extent of E rows
+    yields max y1r ~ E+1 deterministically. The tall groups pin their
+    centers inside the image so boundary clipping can't shrink them into a
+    smaller class; aspect stays < 3.6 (no level bump) and sqrt(area) < 112
+    (stays at level 0)."""
+    q = R // 4
+    n0 = R - 3 * q  # ordinary RoIs (smallest class) absorb the remainder
+    ar = rng.uniform(0.6, 1.8, (B, n0))
+    area = rng.uniform(10**2, 80**2, (B, n0))
+    w0 = np.sqrt(area * ar)
+    h0 = np.sqrt(area / ar)
+    cx0 = rng.uniform(0, 384, (B, n0))
+    cy0 = rng.uniform(0, 256, (B, n0))
+    # y-extent 26..29 cells: fails (24,32), fits (32,40)
+    h1 = rng.uniform(106, 114, (B, q)); w1 = rng.uniform(40, 70, (B, q))
+    # y-extent 34..37 cells: fails (32,40), fits (40,48)
+    h2 = rng.uniform(138, 146, (B, q)); w2 = rng.uniform(50, 80, (B, q))
+    # y-extent 42..47 cells: fails (40,48), fits the (56,64) catch-all
+    h3 = rng.uniform(170, 188, (B, q)); w3 = rng.uniform(56, 62, (B, q))
+    w = np.concatenate([w0, w1, w2, w3], 1)
+    h = np.concatenate([h0, h1, h2, h3], 1)
+    cx_in = [rng.uniform(wk / 2, 384 - wk / 2) for wk in (w1, w2, w3)]
+    cy_in = [rng.uniform(hk / 2, 256 - hk / 2) for hk in (h1, h2, h3)]
+    cx = np.concatenate([cx0] + cx_in, 1)
+    cy = np.concatenate([cy0] + cy_in, 1)
     boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1).astype(np.float32)
     return np.clip(boxes, 0, np.asarray([384, 256, 384, 256], np.float32))
 
@@ -67,8 +80,8 @@ def test_pallas_v2_forward_matches_gather(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
-    # the box distribution must exercise the smallest AND largest window
-    # classes (each RoI is assigned exactly one class id)
+    # the box distribution must exercise EVERY window class (each RoI is
+    # assigned exactly one class id)
     from openset_rcnn_tpu.ops.pallas.roi_align_v2 import (
         WINDOWS,
         _class_geometry,
@@ -80,7 +93,7 @@ def test_pallas_v2_forward_matches_gather(rng):
         real_hw, _pad_levels(real_hw), strides, bj.reshape(-1, 4), 7, 2, 4, B, R
     )
     counts = [int((geo["cls"] == k).sum()) for k in range(len(WINDOWS))]
-    assert counts[0] > 0 and counts[-1] > 0, counts
+    assert all(c > 0 for c in counts), counts
     assert sum(counts) == B * R, counts
 
 

@@ -86,6 +86,7 @@ def main():
         max_gt=1,
         flip=False,
         fmt=cfg.INPUT.FORMAT,
+        interp=cfg.TPU.RESIZE_INTERP,
     )
 
     paths = []
