@@ -7,13 +7,21 @@ TPU-first:
 
   * 16x16 patch embedding, learnable 2-D position embeddings sized to the
     max train grid and sliced per bucket (static shapes, no interpolation
-    under jit);
-  * 14x14 windowed attention in all but a few global blocks (the
+    under jit; pretrain tables are interpolated ONCE at conversion time,
+    utils/torch_weights.convert_vit_torch);
+  * 14x14 windowed attention in all but every third (global) block (the
     window partition is a static reshape — no dynamic shapes);
   * a simple feature pyramid from the single stride-16 map: stride-2
-    deconvs up to P2/P3, identity P4, stride-2 maxpool P5, and the RPN's
+    deconvs up to P2/P3, identity P4, stride-2 subsample P5, and the RPN's
     extra P6 — each with 1x1 + 3x3 conv projections to 256 channels,
     so the detector's FPN-consumer code is unchanged.
+
+Mixed precision mirrors swin.py: activations run in ``compute_dtype``
+(bf16 on TPU), params stay f32, and the attention softmax accumulates in
+f32. Stochastic depth (``drop_path_rate``, linearly scaled over depth as in
+ViTDet) gates residual branches per-sample and is active only when the
+caller provides a 'dropout' rng stream — the train step does, inference
+never does, so converted-weight inference parity is exact.
 
 Exposes the same interface as ResNet+FPN: __call__(images) -> {p2..p6}.
 """
@@ -24,6 +32,7 @@ from typing import Any, Dict, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _GLOBAL_EVERY = 3  # every 3rd block uses global attention (ViTDet-B: 4 of 12)
 
@@ -52,18 +61,22 @@ def _window_unpartition(x: jnp.ndarray, w: int, hw_pad, hw) -> jnp.ndarray:
 class Attention(nn.Module):
     dim: int
     num_heads: int
+    compute_dtype: Any = None  # None -> f32 everywhere
 
     @nn.compact
     def __call__(self, x):  # (N, L, C)
         N, L, C = x.shape
-        qkv = nn.Dense(3 * self.dim, use_bias=True, name="qkv")(x)
+        dt = self.compute_dtype
+        qkv = nn.Dense(3 * self.dim, use_bias=True, name="qkv", dtype=dt)(x)
         q, k, v = jnp.split(qkv.reshape(N, L, 3, self.num_heads, -1), 3, axis=2)
         q, k, v = (t.squeeze(2) for t in (q, k, v))  # (N, L, h, d)
         d = q.shape[-1]
-        attn = jnp.einsum("nlhd,nmhd->nhlm", q, k) / jnp.sqrt(d).astype(x.dtype)
-        attn = jax.nn.softmax(attn, axis=-1)
+        scale = 1.0 / np.sqrt(d)
+        attn = jnp.einsum("nlhd,nmhd->nhlm", q * jnp.asarray(scale, q.dtype), k)
+        # softmax in f32 (standard mixed-precision recipe, as in swin.py)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("nhlm,nmhd->nlhd", attn, v).reshape(N, L, C)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, name="proj", dtype=dt)(out)
 
 
 class Block(nn.Module):
@@ -71,26 +84,44 @@ class Block(nn.Module):
     num_heads: int
     window_size: int  # 0 = global attention
     mlp_ratio: float = 4.0
+    compute_dtype: Any = None
+    drop_path: float = 0.0
+
+    def _drop_path(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Stochastic depth (timm semantics, same as swin.py): per-sample
+        Bernoulli keep with survivor scaling; no-op without a 'dropout'
+        rng stream (inference)."""
+        if self.drop_path <= 0.0 or not self.has_rng("dropout"):
+            return y
+        keep = 1.0 - self.drop_path
+        shape = (y.shape[0],) + (1,) * (y.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, y / keep, jnp.zeros((), y.dtype)).astype(y.dtype)
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
         B, H, W, C = x.shape
+        dt = self.compute_dtype
         shortcut = x
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=dt)(x)
         if self.window_size > 0:
             y, hw_pad = _window_partition(y, self.window_size)
             n, wh, ww, _ = y.shape
-            y = Attention(self.dim, self.num_heads, name="attn")(y.reshape(n, wh * ww, C))
+            y = Attention(self.dim, self.num_heads, compute_dtype=dt, name="attn")(
+                y.reshape(n, wh * ww, C)
+            )
             y = _window_unpartition(y.reshape(n, wh, ww, C), self.window_size, hw_pad, (H, W))
         else:
-            y = Attention(self.dim, self.num_heads, name="attn")(y.reshape(B, H * W, C))
+            y = Attention(self.dim, self.num_heads, compute_dtype=dt, name="attn")(
+                y.reshape(B, H * W, C)
+            )
             y = y.reshape(B, H, W, C)
-        x = shortcut + y
-        z = nn.LayerNorm(name="norm2")(x)
-        z = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(z)
-        z = nn.gelu(z)
-        z = nn.Dense(self.dim, name="mlp_fc2")(z)
-        return x + z
+        x = shortcut + self._drop_path(y)
+        z = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=dt)(x)
+        z = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1", dtype=dt)(z)
+        z = nn.gelu(z, approximate=False)  # timm/ViT uses exact GELU
+        z = nn.Dense(self.dim, name="mlp_fc2", dtype=dt)(z)
+        return x + self._drop_path(z)
 
 
 class ViTSimpleFPN(nn.Module):
@@ -104,15 +135,18 @@ class ViTSimpleFPN(nn.Module):
     out_channels: int = 256
     max_grid: Tuple[int, int] = (84, 84)  # pos-embed table size (1344/16)
     compute_dtype: Any = jnp.float32
+    drop_path_rate: float = 0.0  # ViTDet-B recipe: 0.1, linearly scaled
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        x = images.astype(self.compute_dtype)
+        dt = self.compute_dtype
+        x = images.astype(dt)
         x = nn.Conv(
             self.embed_dim,
             (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
             name="patch_embed",
+            dtype=dt,
         )(x)
         B, H, W, C = x.shape
         pos = self.param(
@@ -122,29 +156,38 @@ class ViTSimpleFPN(nn.Module):
         )
         x = x + pos[:H, :W].astype(x.dtype)
 
+        dp_rates = np.linspace(0.0, self.drop_path_rate, self.depth)
         for i in range(self.depth):
             is_global = (i + 1) % _GLOBAL_EVERY == 0
             x = Block(
                 self.embed_dim,
                 self.num_heads,
                 window_size=0 if is_global else self.window_size,
+                compute_dtype=dt,
+                drop_path=float(dp_rates[i]),
                 name=f"block{i}",
             )(x)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=dt)(x)
 
         # simple feature pyramid from the stride-16 map
         def project(y, name):
-            y = nn.Conv(self.out_channels, (1, 1), use_bias=False, name=f"{name}_conv1")(y)
-            y = nn.LayerNorm(name=f"{name}_ln1")(y)
+            y = nn.Conv(
+                self.out_channels, (1, 1), use_bias=False, name=f"{name}_conv1", dtype=dt
+            )(y)
+            y = nn.LayerNorm(epsilon=1e-6, name=f"{name}_ln1", dtype=dt)(y)
             y = nn.Conv(
                 self.out_channels, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-                name=f"{name}_conv2",
+                name=f"{name}_conv2", dtype=dt,
             )(y)
-            return nn.LayerNorm(name=f"{name}_ln2")(y)
+            return nn.LayerNorm(epsilon=1e-6, name=f"{name}_ln2", dtype=dt)(y)
 
-        up2 = nn.ConvTranspose(self.embed_dim // 2, (2, 2), strides=(2, 2), name="up2a")(x)
-        up2 = nn.gelu(up2)
-        up4 = nn.ConvTranspose(self.embed_dim // 4, (2, 2), strides=(2, 2), name="up2b")(up2)
+        up2 = nn.ConvTranspose(
+            self.embed_dim // 2, (2, 2), strides=(2, 2), name="up2a", dtype=dt
+        )(x)
+        up2 = nn.gelu(up2, approximate=False)
+        up4 = nn.ConvTranspose(
+            self.embed_dim // 4, (2, 2), strides=(2, 2), name="up2b", dtype=dt
+        )(up2)
         p2 = project(up4, "p2")                      # stride 4
         p3 = project(up2, "p3")                      # stride 8
         p4 = project(x, "p4")                        # stride 16

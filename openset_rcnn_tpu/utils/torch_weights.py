@@ -276,6 +276,139 @@ def convert_swin_torch(path: str, params_template, size: str = "T", depths=None)
     return flax.serialization.from_state_dict(params_template, p)
 
 
+def _deconv(w) -> np.ndarray:
+    """torch ConvTranspose2d weight (I, O, kh, kw) -> flax (kh, kw, I, O).
+
+    flax ConvTranspose (lax.conv_transpose, transpose_kernel=False) places
+    the kernel SPATIALLY MIRRORED relative to torch's gradient-of-conv
+    semantics, so kh/kw are flipped (verified empirically: flipped mapping
+    is exact to 0.0, unflipped is wrong)."""
+    k = np.transpose(np.asarray(w), (2, 3, 0, 1))
+    return np.ascontiguousarray(k[::-1, ::-1])
+
+
+def convert_vit_torch(path, params_template, depth: int = 12, max_grid=(84, 84)) -> Any:
+    """ViT checkpoint (timm/MAE/ViTDet trunk naming: ``patch_embed.proj``,
+    ``blocks.{i}.attn.qkv``, ``blocks.{i}.mlp.fc1`` …) -> the ``backbone``
+    subtree of our param tree (models/vit.py naming).
+
+    Mirrors :func:`convert_swin_torch`'s contract for the ViT stretch
+    backbone (BASELINE configs[4]):
+
+      * trunk tensors (patch embed, blocks, final norm) are converted with
+        plain (O, I) -> (I, O) / conv transposes — the qkv output layout
+        ([q;k;v] each head-major) matches between timm and models/vit.py;
+      * ``pos_embed``: a pretrain table (1, 1+gh*gw, C) has its class token
+        dropped and the (gh, gw, C) grid bicubically resized to our static
+        ``max_grid`` table ONCE at conversion (the jit graph then slices
+        [:H, :W] — the static-shape analog of d2 ViTDet's per-input
+        ``get_abs_pos`` interpolation, modeling/backbone/utils.py in d2);
+        a (max_grid, max_grid, C)-shaped source passes through;
+      * simple-pyramid tensors (``simfp.*``: up2a/up2b deconvs and the
+        p{2..5} conv/LN projections) convert when present (detection-format
+        checkpoints); pretrain-only checkpoints leave them at template init
+        — exactly how convert_swin_torch treats the out-stage norms.
+    """
+    src = path if isinstance(path, dict) else _load_torch_file(path)
+    src = {
+        k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        for k, v in src.items()
+    }
+    p = flax.serialization.to_state_dict(params_template)
+    bb = p
+    for k in ("params", "backbone"):  # accept full trees or bare variables
+        if k in bb:
+            bb = bb[k]
+    loaded, missing = [], []
+
+    def put(dst_path, value):
+        node = bb
+        for key in dst_path[:-1]:
+            node = node[key]
+        tmpl = node[dst_path[-1]]
+        if np.shape(value) != tuple(np.shape(tmpl)):
+            raise ValueError(
+                f"{'.'.join(dst_path)}: shape {np.shape(value)} != {np.shape(tmpl)}"
+            )
+        node[dst_path[-1]] = np.asarray(value).astype(np.asarray(tmpl).dtype)
+        loaded.append(".".join(dst_path))
+
+    def dense(src_name, dst_path, bias=True):
+        if f"{src_name}.weight" not in src:
+            missing.append(src_name)
+            return
+        put(dst_path + ["kernel"], _linear(src[f"{src_name}.weight"]))
+        if bias and f"{src_name}.bias" in src:
+            put(dst_path + ["bias"], src[f"{src_name}.bias"])
+
+    def norm(src_name, dst_path):
+        if f"{src_name}.weight" not in src:
+            missing.append(src_name)
+            return
+        put(dst_path + ["scale"], src[f"{src_name}.weight"])
+        put(dst_path + ["bias"], src[f"{src_name}.bias"])
+
+    put(["patch_embed", "kernel"], _conv(src["patch_embed.proj.weight"]))
+    put(["patch_embed", "bias"], src["patch_embed.proj.bias"])
+
+    pos = np.asarray(src["pos_embed"])
+    if pos.ndim == 3 and pos.shape[0] == 1:  # (1, [1+]gh*gw, C) token table
+        n, c = pos.shape[1], pos.shape[2]
+        g = int(np.sqrt(n))
+        if g * g != n:  # leading class token
+            pos = pos[:, 1:]
+            g = int(np.sqrt(pos.shape[1]))
+            assert g * g == pos.shape[1], f"pos_embed length {n} not 1+k^2"
+        pos = pos.reshape(g, g, c)
+    if pos.shape[:2] != tuple(max_grid):
+        import jax
+        import jax.numpy as jnp
+
+        # bicubic, half-pixel sampling — d2 get_abs_pos uses F.interpolate
+        # (mode="bicubic", align_corners=False), same convention
+        pos = np.asarray(
+            jax.image.resize(
+                jnp.asarray(pos, jnp.float32),
+                (max_grid[0], max_grid[1], pos.shape[-1]),
+                method="bicubic",
+            )
+        )
+    put(["pos_embed"], pos)
+
+    for i in range(depth):
+        t = f"blocks.{i}"
+        d = f"block{i}"
+        norm(f"{t}.norm1", [d, "norm1"])
+        dense(f"{t}.attn.qkv", [d, "attn", "qkv"])
+        dense(f"{t}.attn.proj", [d, "attn", "proj"])
+        norm(f"{t}.norm2", [d, "norm2"])
+        dense(f"{t}.mlp.fc1", [d, "mlp_fc1"])
+        dense(f"{t}.mlp.fc2", [d, "mlp_fc2"])
+    norm("norm", ["norm"])
+
+    # optional detection-format simple pyramid
+    if "simfp.up2a.weight" in src:
+        put(["up2a", "kernel"], _deconv(src["simfp.up2a.weight"]))
+        put(["up2a", "bias"], src["simfp.up2a.bias"])
+        put(["up2b", "kernel"], _deconv(src["simfp.up2b.weight"]))
+        put(["up2b", "bias"], src["simfp.up2b.bias"])
+        for l in (2, 3, 4, 5):
+            for ci in (1, 2):
+                put(
+                    [f"p{l}_conv{ci}", "kernel"],
+                    _conv(src[f"simfp.p{l}_conv{ci}.weight"]),
+                )
+                norm(f"simfp.p{l}_ln{ci}", [f"p{l}_ln{ci}"])
+
+    logger.info(
+        "Converted %d ViT tensors from %s (%d unmatched)",
+        len(loaded), path if isinstance(path, str) else "<dict>", len(missing),
+    )
+    if missing:
+        logger.debug("unmatched: %s", missing)
+    return flax.serialization.from_state_dict(params_template, p)
+
+
 def load_npz_into_params(path: str, params_template):
     """Flat 'a/b/c' keyed npz -> params tree."""
     data = np.load(path)
