@@ -42,6 +42,8 @@ def main():
     cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
     cfg.OPENDET_BENCHMARK = True
     cfg.TPU.DTYPE = DTYPE
+    # bisection knob for on-chip debugging (auto = pallas on TPU)
+    cfg.TPU.ROI_ALIGN_IMPL = os.environ.get("BENCH_ROI_IMPL", "auto")
     spec = ModelSpec.from_cfg(cfg, opendet_id_map(81, 20))
     module = OpensetRCNNModule(spec=spec)
     params = jax.jit(

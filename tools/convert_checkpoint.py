@@ -22,6 +22,12 @@ def main():
         action="store_true",
         help="src is an official Swin ImageNet checkpoint (backbone only)",
     )
+    p.add_argument(
+        "--vit",
+        action="store_true",
+        help="src is a timm/MAE ViT checkpoint (trunk only; pos_embed is "
+        "bicubically resized into the static table)",
+    )
     args = p.parse_args()
 
     import jax
@@ -40,6 +46,10 @@ def main():
         from openset_rcnn_tpu.utils.torch_weights import convert_swin_torch
 
         converted = convert_swin_torch(args.src, params, size=cfg.MODEL.SWIN.SIZE)
+    elif args.vit:
+        from openset_rcnn_tpu.utils.torch_weights import convert_vit_torch
+
+        converted = convert_vit_torch(args.src, params)
     else:
         converted = convert_torch_checkpoint(args.src, params)
     ocp.PyTreeCheckpointer().save(
