@@ -21,6 +21,21 @@ from .postprocess import PostprocessConfig, postprocess_image
 logger = logging.getLogger(__name__)
 
 
+class _TwoStageInference:
+    """Chained raw-forward + cascade jits (see CompiledInference.__call__)."""
+
+    def __init__(self, raw_c, casc_c):
+        self.raw_c = raw_c
+        self.casc_c = casc_c
+
+    def __call__(self, params, images, image_hw):
+        return self.casc_c(self.raw_c(params, images, image_hw))
+
+    def _cache_size(self):
+        # recompilation guard for tests: both stages must stay at 1 entry
+        return max(self.raw_c._cache_size(), self.casc_c._cache_size())
+
+
 class CompiledInference:
     """Caches a jitted inference function per image bucket.
 
@@ -61,18 +76,15 @@ class CompiledInference:
             anchors = jnp.asarray(anchors)
             spec, module, pc = self.spec, self.module, self.post_cfg
 
-            if pc is None:
-                def fn(params, images, image_hw):
-                    return inference_forward(
-                        module, params, images, image_hw, spec, anchors, level_sizes
-                    )
-            else:
+            def raw_fn(params, images, image_hw):
+                return inference_forward(
+                    module, params, images, image_hw, spec, anchors, level_sizes
+                )
+
+            if pc is not None:
                 from ..models.serving import fused_cascade
 
-                def fn(params, images, image_hw):
-                    raw = inference_forward(
-                        module, params, images, image_hw, spec, anchors, level_sizes
-                    )
+                def casc_fn(raw):
                     return fused_cascade(
                         raw,
                         obj_thresh=pc.obj_score_thresh,
@@ -88,18 +100,36 @@ class CompiledInference:
                         max_known_candidates=max(2 * pc.detections_per_image, 2000),
                     )
 
+            # The forward and the cascade are TWO chained jits (device arrays
+            # flow between them; dispatches pipeline, still one host sync per
+            # pull). Fusing both into one program reproducibly crashes the
+            # TPU worker at production eval scale (B=16, ~4k proposals/img)
+            # while each half runs clean in isolation — an XLA
+            # scheduling/allocation interaction documented in
+            # PERFORMANCE.md "eval split dispatch" (round 4); the split is
+            # also measured throughput-neutral (0.21 s/batch-16 wall).
             if self.mesh is None:
-                self._cache[bucket] = jax.jit(fn)
+                raw_c = jax.jit(raw_fn)
+                casc_c = jax.jit(casc_fn) if pc is not None else None
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 batch_sh = NamedSharding(self.mesh, P("data"))
                 rep = NamedSharding(self.mesh, P())
-                self._cache[bucket] = jax.jit(
-                    fn,
+                raw_c = jax.jit(
+                    raw_fn,
                     in_shardings=(rep, batch_sh, batch_sh),
                     out_shardings=batch_sh,
                 )
+                casc_c = (
+                    jax.jit(casc_fn, in_shardings=batch_sh, out_shardings=batch_sh)
+                    if pc is not None
+                    else None
+                )
+            if casc_c is None:
+                self._cache[bucket] = raw_c
+            else:
+                self._cache[bucket] = _TwoStageInference(raw_c, casc_c)
             logger.info(
                 "compiled inference for bucket %s (fused=%s, mesh=%s)",
                 bucket, pc is not None, self.mesh is not None,

@@ -71,6 +71,55 @@ def main():
         nms_mod.nms_mask = forced
         serving_mod.nms_mask = forced
 
+    if STAGE == "cascade_only":
+        # run JUST fused_cascade on synthetic raw-detection tensors shaped
+        # like the real eval outputs — tiny compile, fast bisection
+        from openset_rcnn_tpu.models.serving import fused_cascade
+        from openset_rcnn_tpu.structures import RawDetections
+
+        P = int(os.environ.get("R", 4273))
+        r = np.random.RandomState(0)
+        xy = r.uniform(0, 1200, (B, P, 2)).astype(np.float32)
+        wh = r.uniform(5, 300, (B, P, 2)).astype(np.float32)
+        obj = jnp.asarray(r.uniform(0, 1, (B, P)).astype(np.float32))
+        raw = RawDetections(
+            boxes=jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+            objectness=obj,
+            min_dist=jnp.asarray(r.uniform(0, 1, (B, P)).astype(np.float32)),
+            pln_class=jnp.zeros((B, P), jnp.int32),
+            known_probs=jnp.asarray(r.dirichlet(np.ones(21), (B, P)).astype(np.float32)),
+            valid=jnp.asarray(r.rand(B, P) < 0.9),
+            pred_iou=obj,
+            centerness=obj,
+        )
+        fn = jax.jit(lambda rw: fused_cascade(rw, stage1_topk=1000,
+                                              max_known_candidates=2000))
+        out = fn(raw)
+        print("cascade_only ok:", B, P, float(out.scores.sum()))
+        return
+
+    if STAGE == "split":
+        # two chained device dispatches: raw-forward jit -> cascade jit
+        # (device arrays flow between them, no host transfer)
+        from openset_rcnn_tpu.models.serving import fused_cascade
+
+        raw_fn = jax.jit(
+            lambda p, im, ih: inference_forward(
+                module, p, im, ih, spec, anchors, level_sizes
+            )
+        )
+        casc_fn = jax.jit(
+            lambda rw: fused_cascade(rw, stage1_topk=1000, max_known_candidates=2000)
+        )
+        import time
+
+        for it in range(4):
+            t0 = time.perf_counter()
+            out = casc_fn(raw_fn(params, images, hw))
+            s = float(out.scores.sum())
+            print(f"split iter {it}: ok sum={s:.2f} {time.perf_counter()-t0:.2f}s")
+        return
+
     if STAGE in ("raw", "cascade"):
         if STAGE == "raw":
             fn = jax.jit(
