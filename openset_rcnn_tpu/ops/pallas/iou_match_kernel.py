@@ -28,7 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(gt_ref, gtv_ref, anchors_ref, iou_ref, idx_ref, resc_ref, mbox_ref, gmax_ref, *, G: int, R: int):
+    # gt_ref is the FLATTENED (B*G*4,) GT table and gtv_ref the flattened
+    # (B*G,) validity: 2-D/3-D scalar-prefetch arrays are sublane/lane
+    # padded (4 lanes -> 128), which overflowed the 1 MB SMEM at batch 24
+    # (24x104x128x4 B = 1.28 MB); flat 1-D arrays prefetch unpadded.
     b = pl.program_id(0)
+
+    def gt(g, c):
+        return gt_ref[(b * G + g) * 4 + c]
     ax1 = anchors_ref[0, :]
     ay1 = anchors_ref[1, :]
     ax2 = anchors_ref[2, :]
@@ -36,17 +43,17 @@ def _kernel(gt_ref, gtv_ref, anchors_ref, iou_ref, idx_ref, resc_ref, mbox_ref, 
     a_area = (ax2 - ax1) * (ay2 - ay1)
 
     def iou_row(g):
-        gx1 = gt_ref[b, g, 0]
-        gy1 = gt_ref[b, g, 1]
-        gx2 = gt_ref[b, g, 2]
-        gy2 = gt_ref[b, g, 3]
+        gx1 = gt(g, 0)
+        gy1 = gt(g, 1)
+        gx2 = gt(g, 2)
+        gy2 = gt(g, 3)
         g_area = (gx2 - gx1) * (gy2 - gy1)
         iw = jnp.maximum(jnp.minimum(gx2, ax2) - jnp.maximum(gx1, ax1), 0.0)
         ih = jnp.maximum(jnp.minimum(gy2, ay2) - jnp.maximum(gy1, ay1), 0.0)
         inter = iw * ih
         union = g_area + a_area - inter
         row = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
-        valid = (gtv_ref[b, g] > 0).astype(jnp.float32)
+        valid = (gtv_ref[b * G + g] > 0).astype(jnp.float32)
         return jnp.where(valid > 0, row, -1.0)
 
     def pass1(g, carry):
@@ -59,15 +66,15 @@ def _kernel(gt_ref, gtv_ref, anchors_ref, iou_ref, idx_ref, resc_ref, mbox_ref, 
         # carry the matched GT box coordinates so callers never pay the
         # (B*R, 4) XLA gather of gt_boxes[matched_idx] (~4 ms/step at 93k
         # anchors x batch 8 — profiled as the 2nd-largest non-conv fusion)
-        bx1 = jnp.where(better, gt_ref[b, g, 0], bx1)
-        by1 = jnp.where(better, gt_ref[b, g, 1], by1)
-        bx2 = jnp.where(better, gt_ref[b, g, 2], bx2)
-        by2 = jnp.where(better, gt_ref[b, g, 3], by2)
+        bx1 = jnp.where(better, gt(g, 0), bx1)
+        by1 = jnp.where(better, gt(g, 1), by1)
+        bx2 = jnp.where(better, gt(g, 2), bx2)
+        by2 = jnp.where(better, gt(g, 3), by2)
         return best, best_idx, bx1, by1, bx2, by2
 
     # matched-box init = GT row 0, matching the fallback's gt_boxes[argmax]
     # convention when nothing matches (argmax of an all(-1) row is 0)
-    init_box = [jnp.full((R,), gt_ref[b, 0, c], jnp.float32) for c in range(4)]
+    init_box = [jnp.full((R,), gt(0, c), jnp.float32) for c in range(4)]
     best, best_idx, bx1, by1, bx2, by2 = jax.lax.fori_loop(
         0,
         G,
@@ -125,8 +132,9 @@ def iou_match_pallas(
             jax.ShapeDtypeStruct((B, 4, R), jnp.float32),
         ),
     )(
-        gt_boxes.astype(jnp.float32),                  # scalar prefetch (SMEM)
-        gt_valid.astype(jnp.int32),
+        # flat 1-D scalar prefetch (SMEM): see _kernel docstring
+        gt_boxes.astype(jnp.float32).reshape(-1),
+        gt_valid.astype(jnp.int32).reshape(-1),
         anchors.T.astype(jnp.float32),  # (4, R) VMEM
     )
     return max_iou[:, 0], idx[:, 0], resc[:, 0] > 0.5, jnp.swapaxes(mbox, 1, 2)

@@ -12,7 +12,11 @@ nothing to win; if (3) ~= (1) + (2) they serialize and overlap is broken.
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,11 @@ Methodology: chained steps + single hard sync, min-of-repeats slope
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
