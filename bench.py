@@ -63,6 +63,9 @@ def main():
     cfg.MODEL.PLN.LOSS_WEIGHT = 0.5
     cfg.OPENDET_BENCHMARK = True
     cfg.TPU.DTYPE = DTYPE
+    # experiment knob: BENCH_ROI_BWD=pallas_bf16 benches the opt-in bf16
+    # gradient-accumulator RMW (PERFORMANCE.md round 4); default unchanged
+    cfg.TPU.ROI_ALIGN_BWD = os.environ.get("BENCH_ROI_BWD", cfg.TPU.ROI_ALIGN_BWD)
 
     spec = ModelSpec.from_cfg(cfg, opendet_id_map(81, 20))
     module = OpensetRCNNModule(spec=spec)

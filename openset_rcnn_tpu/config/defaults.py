@@ -203,6 +203,8 @@ def get_default_cfg() -> CN:
                                            #  -1: d2 adaptive ceil(roi/7) (parity)
     _C.TPU.ROI_ALIGN_IMPL = "auto"         # auto|gather|pallas (auto: pallas on 1-chip TPU)
     _C.TPU.ROI_ALIGN_BWD = "pallas"        # pallas (window RMW kernel) | xla
+                                           #  | pallas_bf16 (bf16 grad accs:
+                                           #  half the RMW traffic, opt-in)
     _C.TPU.RPN_MATCHER = "auto"            # auto|pallas|xla (fused IoU+matcher kernel)
                                            #  (scatter-add); pallas impl only
     _C.TPU.MAX_DETECTIONS_DEVICE = 100     # fused on-device inference cap

@@ -343,6 +343,7 @@ def _bwd_kernel(
     o0_ref, o1_ref, o2_ref, o3_ref,
     dwin_ref, rmw_ref, t1_ref, s_ref, sem_r, sem_w,
     *, P: int, S: int, C: int, windows, pipelined: bool,
+    acc_dtype=jnp.float32,
 ):
     """Per-RoI window-gradient RMW.
 
@@ -440,12 +441,14 @@ def _bwd_kernel(
 
         jax.lax.fori_loop(0, PS, yloop, 0)
 
-        # Add into the fetched accumulator window.
+        # Add into the fetched accumulator window (f32 math; the store
+        # rounds to acc_dtype — a no-op for the f32 default).
         def accumulate(dma):
             dma.wait()
             rmw_ref[wslot, :wy, :wx] = (
-                rmw_ref[wslot, :wy, :wx] + dwin_ref[:wy, :wx]
-            )
+                rmw_ref[wslot, :wy, :wx].astype(jnp.float32)
+                + dwin_ref[:wy, :wx]
+            ).astype(acc_dtype)
 
         for li, a_ref in enumerate(outs):
             @pl.when(lvl_ref[r] == li)
@@ -489,11 +492,21 @@ def roi_align_pallas_v2_bwd(
     out_size: int = 7,
     sampling_ratio: int = 2,
     interpret: bool = False,
+    acc_dtype=jnp.float32,
 ):
     """d(roi_align_pallas_v2)/d(feats). g: (B, R, P, P, C) cotangent.
 
     Returns per-level f32 gradients shaped (B, H_l, W_l, C). Boxes get no
-    gradient (proposals are stop-gradient upstream)."""
+    gradient (proposals are stop-gradient upstream).
+
+    ``acc_dtype=bfloat16`` halves the window RMW's HBM traffic — the train
+    step's single largest kernel cost (PERFORMANCE.md round-4 ceiling
+    math) — by keeping the per-level gradient accumulators bf16 in HBM.
+    The per-RoI window gradient is still COMPUTED in f32; only the
+    accumulator read+add+write rounds to bf16, so each accumulator cell
+    loses precision once per contributing RoI (~tens of adds). Opt-in via
+    TPU.ROI_ALIGN_BWD=pallas_bf16; the f32 default is bit-aligned with
+    the XLA scatter-add."""
     B, R = boxes.shape[:2]
     C = feats[0].shape[-1]
     P, S = out_size, sampling_ratio
@@ -525,7 +538,7 @@ def roi_align_pallas_v2_bwd(
         geo = {key: interleave(v) for key, v in geo.items()}
         gk = interleave(gk)
 
-    accs = [jnp.zeros((B * hp, wp, C), jnp.float32) for hp, wp in pad_hw]
+    accs = [jnp.zeros((B * hp, wp, C), acc_dtype) for hp, wp in pad_hw]
     N = B * R
     for start in range(0, N, CHUNK):
         end = min(start + CHUNK, N)
@@ -535,11 +548,11 @@ def roi_align_pallas_v2_bwd(
             pl.pallas_call(
                 functools.partial(
                     _bwd_kernel, P=P, S=S, C=C, windows=WINDOWS,
-                    pipelined=pipelined,
+                    pipelined=pipelined, acc_dtype=acc_dtype,
                 ),
                 interpret=interpret,
                 out_shape=[
-                    jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in accs
+                    jax.ShapeDtypeStruct(a.shape, acc_dtype) for a in accs
                 ],
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=9,
@@ -549,7 +562,7 @@ def roi_align_pallas_v2_bwd(
                     out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
                     scratch_shapes=[
                         pltpu.VMEM((WYM, WXM, C), jnp.float32),
-                        pltpu.VMEM((2, WYM, WXM, C), jnp.float32),
+                        pltpu.VMEM((2, WYM, WXM, C), acc_dtype),  # RMW staging
                         pltpu.VMEM((WXM, 1, PS * C), jnp.float32),
                         pltpu.VMEM((PS, 1, PS * C), jnp.float32),
                         pltpu.SemaphoreType.DMA,

@@ -374,10 +374,14 @@ def multilevel_roi_align_batched(
 
     def _bwd(res, g):
         fs, bx = res
-        if bwd_impl == "pallas":
+        if bwd_impl in ("pallas", "pallas_bf16"):
+            # pallas_bf16: bf16 gradient accumulators halve the window-RMW
+            # HBM traffic (the step's largest kernel cost); opt-in — each
+            # accumulator cell rounds once per contributing RoI.
             dfs = roi_align_pallas_v2_bwd(
                 list(fs), bx, g, strides_t, out_size, sampling_ratio,
                 interpret=interp,
+                acc_dtype=jnp.bfloat16 if bwd_impl == "pallas_bf16" else jnp.float32,
             )
             dfs = tuple(d.astype(f.dtype) for d, f in zip(dfs, fs))
         else:

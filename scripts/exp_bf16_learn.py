@@ -2,7 +2,7 @@
 (the VALIDATION.md recipe) with TPU.DTYPE from argv, printing the loss
 trajectory and open-set eval metrics so f32 vs bfloat16 can be compared.
 
-Usage: python scripts/exp_bf16_learn.py {float32|bfloat16} [iters] [matcher] [rpn_loss]
+Usage: python scripts/exp_bf16_learn.py {float32|bfloat16} [iters] [matcher] [rpn_loss] [roi_bwd]
 Runs on whatever backend is registered (the real chip under axon).
 LR decays 10x at 75% of the schedule when iters >= 5000.
 """
@@ -25,6 +25,7 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
     matcher = sys.argv[3] if len(sys.argv) > 3 else "auto"
     rpn_loss = sys.argv[4] if len(sys.argv) > 4 else "iou"
+    roi_bwd = sys.argv[5] if len(sys.argv) > 5 else "pallas"
     root = tempfile.mkdtemp(prefix=f"bf16learn_{dtype}_{rpn_loss}_")
 
     # train has 3 known classes; test adds a never-trained 4th (unknown).
@@ -77,6 +78,7 @@ def main():
     cfg.TPU.MAX_GT_PER_IMAGE = 8
     cfg.TPU.DTYPE = dtype
     cfg.TPU.RPN_MATCHER = matcher
+    cfg.TPU.ROI_ALIGN_BWD = roi_bwd
     cfg.DATALOADER.NUM_WORKERS = 2
     cfg.TEST.EVAL_PERIOD = 0
 
@@ -96,7 +98,7 @@ def main():
     totals = {l["iteration"]: l["total_loss"] for l in lines if "total_loss" in l}
     ks = sorted(totals)
     traj = {str(k): round(totals[k], 4) for k in ks if k % max(1, iters // 10) == 0 or k == ks[-1]}
-    print(json.dumps({"dtype": dtype, "iters": iters, "matcher": matcher, "loss_traj": traj,
+    print(json.dumps({"dtype": dtype, "iters": iters, "matcher": matcher, "roi_bwd": roi_bwd, "loss_traj": traj,
                       "results": {k: {m: round(float(v), 2) for m, v in r.items()}
                                   for k, r in results.items()}}))
 

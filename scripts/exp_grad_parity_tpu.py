@@ -84,6 +84,8 @@ def main():
         ("pallas_fwd_xla_bwd", "pallas", "xla", "xla"),
         ("pallas_fwd_bwd", "pallas", "pallas", "xla"),
         ("pallas_all", "pallas", "pallas", "pallas"),
+        # opt-in bf16 gradient accumulators (round 4): bounded rounding
+        ("pallas_bf16_rmw", "pallas", "pallas_bf16", "pallas"),
     ]
     ref = None
     for name, impl, bwd, matcher in variants:

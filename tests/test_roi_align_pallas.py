@@ -125,6 +125,31 @@ def test_pallas_backward_matches_gather_vjp(rng):
         )
 
 
+def test_pallas_backward_bf16_accumulators(rng):
+    """acc_dtype=bfloat16 (TPU.ROI_ALIGN_BWD=pallas_bf16) approximates the
+    f32 gradient within bf16 rounding accumulated over per-cell RoI
+    contributions — the opt-in traffic-halving mode."""
+    from openset_rcnn_tpu.ops.pallas.roi_align_v2 import roi_align_pallas_v2_bwd
+
+    sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]
+    C, B, R = 32, 2, 12
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32)) for h, w in sizes]
+    bj = jnp.asarray(_mixed_window_boxes(rng, B, R))
+    g = jnp.asarray(rng.randn(B, R, 7, 7, C).astype(np.float32))
+
+    ref = roi_align_pallas_v2_bwd(feats, bj, g, strides, interpret=True)
+    got = roi_align_pallas_v2_bwd(
+        feats, bj, g, strides, interpret=True, acc_dtype=jnp.bfloat16
+    )
+    for lvl, (a, b) in enumerate(zip(got, ref)):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b), rtol=3e-2, atol=5e-2,
+            err_msg=f"level {lvl}",
+        )
+
+
 def test_pallas_backward_single_image(rng):
     """B=1 takes the serialized (non-pipelined) RMW path — the deferred
     write-back requires consecutive programs from different images."""
