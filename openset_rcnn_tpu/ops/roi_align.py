@@ -325,6 +325,42 @@ def multilevel_roi_align_window(
 # Hybrid Pallas forward / XLA-scatter backward (batched API)
 # ---------------------------------------------------------------------------
 
+# Sample-point budget per sequential gather step. The gather formulation
+# materializes (R, P*S, P*S, C) intermediates; at eval scale (~4k
+# proposals/img, batch 16 — and S=8 on the adaptive parity grid) that is
+# tens of GB scheduled all at once (measured: a clean 74.6 GB compile-time
+# OOM). Chunking over RoIs with lax.map bounds the peak to one chunk with
+# equal-within-fp-rounding numbers — pure scheduling. The chunk size
+# scales inversely with the sample-grid area so the adaptive grid (16x the
+# static-2 samples) gets 16x smaller chunks; training (512 RoIs/img,
+# static 2) stays on the single-shot path.
+GATHER_CHUNK_BUDGET = 512 * (7 * 2) ** 2  # 512 RoIs at the static-2 grid
+
+
+def _gather_chunked(
+    feats, boxes, strides, out_size: int = 7, sampling_ratio: int = 2
+) -> jnp.ndarray:
+    R = boxes.shape[0]
+    S = ADAPTIVE_MAX_RATIO if sampling_ratio == -1 else sampling_ratio
+    chunk = max(32, GATHER_CHUNK_BUDGET // ((out_size * S) ** 2))
+    if R <= chunk:
+        return _multilevel_roi_align_gather(
+            feats, boxes, strides, out_size, sampling_ratio
+        )
+    pad = (-R) % chunk
+    bb = jnp.pad(boxes, ((0, pad), (0, 0)))
+    chunks = bb.reshape(-1, chunk, 4)
+    # checkpoint: the backward recomputes each chunk's gathers instead of
+    # storing every chunk's residuals (restores the memory bound under AD)
+    body = jax.checkpoint(
+        lambda cb: _multilevel_roi_align_gather(
+            feats, cb, strides, out_size, sampling_ratio
+        )
+    )
+    out = jax.lax.map(body, chunks)
+    return out.reshape(-1, *out.shape[2:])[:R]
+
+
 def multilevel_roi_align_batched(
     feats,
     boxes,
@@ -352,7 +388,7 @@ def multilevel_roi_align_batched(
         impl = "gather"  # adaptive grid is only expressed by the gather impl
     if impl == "gather":
         return jax.vmap(
-            lambda fl, bb: _multilevel_roi_align_gather(
+            lambda fl, bb: _gather_chunked(
                 list(fl), bb, strides, out_size, sampling_ratio
             )
         )(feats, boxes)

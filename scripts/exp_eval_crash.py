@@ -98,6 +98,35 @@ def main():
         print("cascade_only ok:", B, P, float(out.scores.sum()))
         return
 
+    if STAGE == "parity":
+        # the PARITY config's eval path at production shape: f32 trunk,
+        # gather RoIAlign with the adaptive ceil(roi/7) grid, raw outputs
+        # for the host cascade, EVAL_BATCH_SIZE=8 (round 4: validates the
+        # budgeted gather chunking fits HBM where the single-shot gather
+        # OOMed at 74.6 GB)
+        cfg2 = get_default_cfg()
+        cfg2.MODEL.ROI_HEADS.NUM_CLASSES = 81
+        cfg2.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES = 20
+        cfg2.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
+        cfg2.OPENDET_BENCHMARK = True
+        cfg2.TPU.ROI_ALIGN_IMPL = "gather"
+        cfg2.TPU.ROI_SAMPLING_RATIO = -1
+        cfg2.TPU.DTYPE = "float32"
+        spec2 = ModelSpec.from_cfg(cfg2, opendet_id_map(81, 20))
+        module2 = OpensetRCNNModule(spec=spec2)
+        params2 = jax.jit(
+            lambda: module2.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
+        )()
+        Bp = 8
+        fn = jax.jit(
+            lambda p, im, ih: inference_forward(
+                module2, p, im, ih, spec2, anchors, level_sizes
+            )
+        )
+        out = fn(params2, images[:Bp], hw[:Bp])
+        print("parity-eval ok:", Bp, float(out.objectness.sum()))
+        return
+
     if STAGE == "split":
         # two chained device dispatches: raw-forward jit -> cascade jit
         # (device arrays flow between them, no host transfer)

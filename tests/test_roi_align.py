@@ -161,3 +161,38 @@ def test_adaptive_sampling_ratio_matches_d2_oracle(rng):
     )
     want = oracle_roi_align_adaptive(feat, boxes, 0.25)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_gather_chunking_is_exact(rng):
+    """Eval-scale RoI counts route the gather impl through lax.map chunks
+    (GATHER_CHUNK) to bound peak memory; the numbers must be IDENTICAL to
+    the single-shot gather (pure scheduling, round 4 — unblocks the parity
+    eval config at production proposal counts)."""
+    import jax
+
+    from openset_rcnn_tpu.ops.roi_align import (
+        _multilevel_roi_align_gather,
+        multilevel_roi_align_batched,
+    )
+
+    sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]
+    C, B = 8, 2
+    R = 512 + 137  # > the static-2 chunk (512): 2 chunks + ragged tail
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32)) for h, w in sizes]
+    xy = rng.uniform(0, 250, (B, R, 2))
+    wh = rng.uniform(5, 120, (B, R, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+
+    for sr in (2, -1):  # static grid and the adaptive parity grid
+        got = multilevel_roi_align_batched(
+            feats, boxes, strides, sampling_ratio=sr, impl="gather"
+        )
+        want = jax.vmap(
+            lambda fl, bb: _multilevel_roi_align_gather(
+                list(fl), bb, strides, 7, sr
+            )
+        )(tuple(feats), boxes)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5, err_msg=f"sr={sr}"
+        )
