@@ -48,6 +48,7 @@ def build():
     cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
     cfg.OPENDET_BENCHMARK = True
     cfg.TPU.DTYPE = DTYPE
+    cfg.TPU.ROI_ALIGN_BWD = os.environ.get("BENCH_ROI_BWD", "pallas_bf16")
     spec = ModelSpec.from_cfg(cfg, opendet_id_map(81, 20))
     module = OpensetRCNNModule(spec=spec)
     params = jax.jit(

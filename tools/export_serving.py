@@ -17,6 +17,16 @@ serving binary can load and run it with no Python model code:
 The exported artifact targets the platform it is exported on (TPU under
 axon; pass --platform cpu to cross-export a CPU-runnable artifact for
 testing). Round-trip is covered by tests/test_export_serving.py.
+
+CAVEAT (round 4): this exports forward+cascade as ONE program. At serving
+batch sizes (the --batch default 8 with modest proposal counts) that is
+fine, but the eval harness observed a reproducible TPU worker crash for
+the SAME combined program at bulk-eval scale (batch 16, ~4k
+proposals/img) and therefore runs forward and cascade as two chained
+dispatches (evaluation/testing.py, PERFORMANCE.md "eval split dispatch").
+If a deployment pushes the exported artifact to that scale and hits
+instability, export two artifacts (inference_forward and fused_cascade)
+and chain them the same way.
 """
 from __future__ import annotations
 
