@@ -106,8 +106,8 @@ class CompiledInference:
             # TPU worker at production eval scale (B=16, ~4k proposals/img)
             # while each half runs clean in isolation — an XLA
             # scheduling/allocation interaction documented in
-            # PERFORMANCE.md "eval split dispatch" (round 4); the split is
-            # also measured throughput-neutral (0.21 s/batch-16 wall).
+            # PERFORMANCE.md "eval split dispatch" (round 4); the split
+            # benches at 89.7 img/s batch 16 (BENCH_EVAL_r04.json).
             if self.mesh is None:
                 raw_c = jax.jit(raw_fn)
                 casc_c = jax.jit(casc_fn) if pc is not None else None

@@ -55,7 +55,11 @@ def match(
         # d2 Matcher.set_low_quality_matches_ does not update matched_idx.
         # Deviation: we additionally require the best IoU > 0 so a degenerate
         # GT box (zero overlap with every anchor) cannot mark ALL anchors
-        # positive; real data never hits this.
+        # positive. Unreachable on real data: the A=1 stride-4 32px anchor
+        # grid covers every image pixel, so any GT with positive area inside
+        # the image overlaps some anchor (IoU > 0), and the loader drops
+        # degenerate boxes (transforms.py) — the guard only changes behavior
+        # for inputs the reference could never see.
         best_per_gt = jnp.max(masked, axis=1, keepdims=True)  # (G, 1)
         tie = (masked == best_per_gt) & (best_per_gt > 0) & gt_valid[:, None]
         rescued = jnp.any(tie, axis=0)
