@@ -70,6 +70,9 @@ def test_parity_config_pins_fast_paths_off():
     assert cfg.TPU.ROI_SAMPLING_RATIO == -1
     assert cfg.TPU.DTYPE == "float32"
     assert cfg.TPU.EVAL_FUSED is False
+    # reference-exact PIL resize must stay the parity default (round 4)
+    assert cfg.TPU.RESIZE_INTERP == "pil"
+    assert cfg.TPU.ROI_ALIGN_BWD != "pallas_bf16"
     # inherits the full benchmark hparams
     assert cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES == 20
     spec = build_model_spec(cfg)
