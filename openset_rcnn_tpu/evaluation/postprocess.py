@@ -22,6 +22,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+_NMS_NATIVE_WARNED = False
+
 
 @dataclass
 class FinalDetections:
@@ -43,8 +45,22 @@ def numpy_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndarra
 
             keep_mask = nms_native(boxes[order], thresh)
             return order[keep_mask]
-        except Exception:
+        except (ImportError, OSError, RuntimeError):
+            # expected: extension not built / toolchain absent -> numpy fallback
             pass
+        except Exception:
+            # unexpected (layout/binding bug): still fall back, but say so once
+            # instead of silently degrading every host-cascade NMS to the
+            # O(N^2) numpy loop (mirrors os_cocoeval.greedy_match dispatch)
+            global _NMS_NATIVE_WARNED
+            if not _NMS_NATIVE_WARNED:
+                _NMS_NATIVE_WARNED = True
+                import logging, traceback
+
+                logging.getLogger(__name__).warning(
+                    "native nms failed unexpectedly; using numpy fallback:\n%s",
+                    traceback.format_exc(),
+                )
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     areas = (x2 - x1) * (y2 - y1)
     keep = []

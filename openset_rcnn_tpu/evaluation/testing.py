@@ -245,11 +245,18 @@ def inference_on_dataset(
     fused = infer.post_cfg is not None
     evaluator.reset()
     n_images = 0
+    n_overflow_images = 0
+    max_overflow = 0
     t0 = time.perf_counter()
 
     def consume(out, meta):
-        nonlocal n_images
+        nonlocal n_images, n_overflow_images, max_overflow
         out_np = jax.tree.map(np.asarray, out)
+        if fused and getattr(out_np, "known_overflow", None) is not None:
+            ov = np.asarray(out_np.known_overflow)
+            if (ov > 0).any():
+                n_overflow_images += int((ov > 0).sum())
+                max_overflow = max(max_overflow, int(ov.max()))
         for i, image_id in enumerate(meta.image_ids):
             if fused:
                 dets = finalize_serve_image(
@@ -287,4 +294,15 @@ def inference_on_dataset(
     dt = time.perf_counter() - t0
     if n_images:
         logger.info("inference done: %d images in %.1fs (%.2f img/s)", n_images, dt, n_images / dt)
+    if n_overflow_images:
+        # the fused cascade's static candidate slot truncated (box, class)
+        # pairs the reference would have kept (softmax_classifier.py:47-104)
+        # -> metrics may diverge from the host cascade on these images
+        logger.warning(
+            "fused cascade known-candidate overflow on %d/%d images "
+            "(max %d pairs dropped before known NMS); re-run with "
+            "TPU.EVAL_FUSED=False or raise TEST.DETECTIONS_PER_IMAGE "
+            "for exact parity",
+            n_overflow_images, n_images, max_overflow,
+        )
     return evaluator.evaluate()

@@ -28,6 +28,13 @@ class ServeDetections(NamedTuple):
     scores: jnp.ndarray   # (B, D)
     classes: jnp.ndarray  # (B, D) int32 (known index or unknown id)
     valid: jnp.ndarray    # (B, D) bool
+    # (B,) int32: known-branch (box, class) candidates above the score
+    # threshold that did NOT fit in the static max_known_candidates slot and
+    # were silently dropped before NMS. The reference keeps ALL pairs above
+    # 0.05 (softmax_classifier.py:47-104), so any nonzero value here is a
+    # potential parity divergence from the host cascade — callers must
+    # surface it (evaluation/testing.py warns; tests assert visibility).
+    known_overflow: jnp.ndarray
 
 
 def _topk_select(values, mask, k):
@@ -73,11 +80,10 @@ def fused_cascade_single(
 
     # ---- stage 3a: known, class-wise ----
     # candidate (box, class) pairs: flatten (K1, K) scores, take top-C
-    known_scores = jnp.where(
-        (~is_unknown[:, None]) & v1[:, None] & (probs1 > known_score_thresh),
-        probs1,
-        -jnp.inf,
-    ).reshape(-1)
+    cand_mask = (~is_unknown[:, None]) & v1[:, None] & (probs1 > known_score_thresh)
+    n_cand = jnp.sum(cand_mask, dtype=jnp.int32)
+    known_overflow = jnp.maximum(n_cand - max_known_candidates, 0)
+    known_scores = jnp.where(cand_mask, probs1, -jnp.inf).reshape(-1)
     cs, ci, cv = _topk_select(known_scores, jnp.isfinite(known_scores), max_known_candidates)
     cand_box = boxes1[ci // K]
     cand_cls = (ci % K).astype(jnp.int32)
@@ -113,6 +119,7 @@ def fused_cascade_single(
         scores=jnp.concatenate([uscores, kscores], 0),
         classes=jnp.concatenate([uclasses, kclasses], 0),
         valid=jnp.concatenate([uvalid, kvalid], 0),
+        known_overflow=known_overflow,
     )
 
 

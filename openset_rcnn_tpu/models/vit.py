@@ -5,10 +5,14 @@ same CF-RPN + PLN heads (BASELINE.json configs[4]). This implements the
 ViTDet recipe (plain ViT + simple feature pyramid, He et al. 2022),
 TPU-first:
 
-  * 16x16 patch embedding, learnable 2-D position embeddings sized to the
-    max train grid and sliced per bucket (static shapes, no interpolation
-    under jit; pretrain tables are interpolated ONCE at conversion time,
-    utils/torch_weights.convert_vit_torch);
+  * 16x16 patch embedding, learnable 2-D position embeddings stored at the
+    NATIVE pretrain grid (14x14 for 224/16 checkpoints) and bicubically
+    resized to the runtime patch grid inside the forward — the exact
+    semantics of d2 ViTDet's ``get_abs_pos`` (modeling/backbone/utils.py),
+    except the resize compiles to a static constant matmul per bucket
+    (runtime grids are static under jit, so the interpolation matrices are
+    trace-time numpy constants; kernel A=-0.75 + border clamping replicate
+    torch F.interpolate(mode="bicubic", align_corners=False) bitwise-close);
   * 14x14 windowed attention in all but every third (global) block (the
     window partition is a static reshape — no dynamic shapes);
   * a simple feature pyramid from the single stride-16 map: stride-2
@@ -35,6 +39,32 @@ import jax.numpy as jnp
 import numpy as np
 
 _GLOBAL_EVERY = 3  # every 3rd block uses global attention (ViTDet-B: 4 of 12)
+
+
+def bicubic_resize_matrix(out_size: int, in_size: int, a: float = -0.75) -> np.ndarray:
+    """(out_size, in_size) interpolation matrix reproducing torch
+    ``F.interpolate(mode="bicubic", align_corners=False)`` along one axis:
+    half-pixel sampling, cubic-convolution kernel with A=-0.75, taps clamped
+    at the borders. Applying it as ``W_h @ table @ W_w.T`` equals d2 ViTDet's
+    ``get_abs_pos`` pos-embed interpolation (modeling/backbone/utils.py) —
+    used both per-forward (static grids) and at checkpoint conversion."""
+    if out_size == in_size:
+        return np.eye(out_size, dtype=np.float64)
+    scale = in_size / out_size
+    x = (np.arange(out_size) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    t = x - x0
+    W = np.zeros((out_size, in_size), np.float64)
+    rows = np.arange(out_size)
+    for k in range(-1, 3):
+        d = np.abs(t - k)
+        w = np.where(
+            d <= 1.0,
+            (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0,
+            np.where(d < 2.0, a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a, 0.0),
+        )
+        np.add.at(W, (rows, np.clip(x0 + k, 0, in_size - 1)), w)
+    return W
 
 
 def _window_partition(x: jnp.ndarray, w: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
@@ -133,7 +163,9 @@ class ViTSimpleFPN(nn.Module):
     num_heads: int = 12
     window_size: int = 14
     out_channels: int = 256
-    max_grid: Tuple[int, int] = (84, 84)  # pos-embed table size (1344/16)
+    # native pos-embed table grid: 224/16 pretrain convention (get_abs_pos
+    # stores the pretrain table and stretches it to the runtime grid)
+    pos_grid: Tuple[int, int] = (14, 14)
     compute_dtype: Any = jnp.float32
     drop_path_rate: float = 0.0  # ViTDet-B recipe: 0.1, linearly scaled
 
@@ -152,9 +184,16 @@ class ViTSimpleFPN(nn.Module):
         pos = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
-            (self.max_grid[0], self.max_grid[1], self.embed_dim),
+            (self.pos_grid[0], self.pos_grid[1], self.embed_dim),
         )
-        x = x + pos[:H, :W].astype(x.dtype)
+        if (H, W) != tuple(self.pos_grid):
+            # stretch the native table to the runtime grid (static per
+            # bucket): two trace-time-constant interpolation matmuls, in f32
+            # for parity with torch's f32 F.interpolate
+            wh = jnp.asarray(bicubic_resize_matrix(H, self.pos_grid[0]), jnp.float32)
+            ww = jnp.asarray(bicubic_resize_matrix(W, self.pos_grid[1]), jnp.float32)
+            pos = jnp.einsum("hH,HWc,wW->hwc", wh, pos.astype(jnp.float32), ww)
+        x = x + pos.astype(x.dtype)
 
         dp_rates = np.linspace(0.0, self.drop_path_rate, self.depth)
         for i in range(self.depth):
@@ -191,6 +230,10 @@ class ViTSimpleFPN(nn.Module):
         p2 = project(up4, "p2")                      # stride 4
         p3 = project(up2, "p3")                      # stride 8
         p4 = project(x, "p4")                        # stride 16
-        p5 = project(x[:, ::2, ::2], "p5")           # stride 32
-        p6 = p5[:, ::2, ::2]                         # stride 64
+        # stride-32 branch: 2x2 max-pool, the ViTDet SimpleFeaturePyramid
+        # scale-0.5 stage (d2 modeling/backbone/vit.py uses MaxPool2d(2, 2))
+        p5 = project(nn.max_pool(x, (2, 2), strides=(2, 2)), "p5")
+        # stride-64: d2's LastLevelMaxPool is max_pool(kernel=1, stride=2),
+        # i.e. exact subsampling — NOT a 2x2 pool
+        p6 = p5[:, ::2, ::2]
         return {"p2": p2, "p3": p3, "p4": p4, "p5": p5, "p6": p6}

@@ -287,7 +287,7 @@ def _deconv(w) -> np.ndarray:
     return np.ascontiguousarray(k[::-1, ::-1])
 
 
-def convert_vit_torch(path, params_template, depth: int = 12, max_grid=(84, 84)) -> Any:
+def convert_vit_torch(path, params_template, depth: int = 12, pos_grid=(14, 14)) -> Any:
     """ViT checkpoint (timm/MAE/ViTDet trunk naming: ``patch_embed.proj``,
     ``blocks.{i}.attn.qkv``, ``blocks.{i}.mlp.fc1`` …) -> the ``backbone``
     subtree of our param tree (models/vit.py naming).
@@ -299,11 +299,12 @@ def convert_vit_torch(path, params_template, depth: int = 12, max_grid=(84, 84))
         plain (O, I) -> (I, O) / conv transposes — the qkv output layout
         ([q;k;v] each head-major) matches between timm and models/vit.py;
       * ``pos_embed``: a pretrain table (1, 1+gh*gw, C) has its class token
-        dropped and the (gh, gw, C) grid bicubically resized to our static
-        ``max_grid`` table ONCE at conversion (the jit graph then slices
-        [:H, :W] — the static-shape analog of d2 ViTDet's per-input
-        ``get_abs_pos`` interpolation, modeling/backbone/utils.py in d2);
-        a (max_grid, max_grid, C)-shaped source passes through;
+        dropped and the (gh, gw, C) grid stored at the model's NATIVE
+        ``pos_grid`` — a passthrough for the standard 224/16 pretrains
+        (gh=gw=14), a torch-exact bicubic resize otherwise. The model then
+        stretches the native table to each runtime grid inside the forward
+        (models/vit.py), which IS d2 ViTDet's ``get_abs_pos``
+        (modeling/backbone/utils.py) compiled to static matmuls;
       * simple-pyramid tensors (``simfp.*``: up2a/up2b deconvs and the
         p{2..5} conv/LN projections) convert when present (detection-format
         checkpoints); pretrain-only checkpoints leave them at template init
@@ -360,19 +361,14 @@ def convert_vit_torch(path, params_template, depth: int = 12, max_grid=(84, 84))
             g = int(np.sqrt(pos.shape[1]))
             assert g * g == pos.shape[1], f"pos_embed length {n} not 1+k^2"
         pos = pos.reshape(g, g, c)
-    if pos.shape[:2] != tuple(max_grid):
-        import jax
-        import jax.numpy as jnp
+    if pos.shape[:2] != tuple(pos_grid):
+        from ..models.vit import bicubic_resize_matrix
 
-        # bicubic, half-pixel sampling — d2 get_abs_pos uses F.interpolate
-        # (mode="bicubic", align_corners=False), same convention
-        pos = np.asarray(
-            jax.image.resize(
-                jnp.asarray(pos, jnp.float32),
-                (max_grid[0], max_grid[1], pos.shape[-1]),
-                method="bicubic",
-            )
-        )
+        # torch-exact bicubic (A=-0.75, half-pixel, clamped borders) — the
+        # same matrices the model's forward uses for get_abs_pos parity
+        wh = bicubic_resize_matrix(pos_grid[0], pos.shape[0])
+        ww = bicubic_resize_matrix(pos_grid[1], pos.shape[1])
+        pos = np.einsum("hH,HWc,wW->hwc", wh, pos.astype(np.float64), ww)
     put(["pos_embed"], pos)
 
     for i in range(depth):

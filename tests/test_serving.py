@@ -100,3 +100,56 @@ def test_fused_matches_host_cascade(rng):
                      np.asarray(fused.classes[i])[v])
         want = as_set(host.boxes, host.scores, host.classes)
         assert got == want, f"image {i}: fused != host\nonly-fused: {got - want}\nonly-host: {want - got}"
+
+
+def test_fused_overflow_counted_and_parity_at_boundary(rng):
+    """The fused cascade's static candidate slot is a deviation from the
+    reference, which keeps ALL (box, class) pairs above the score threshold
+    (softmax_classifier.py:47-104). When candidates exceed the cap the
+    truncation must be VISIBLE (known_overflow > 0), and with a sufficient
+    cap the fused path must still equal the host cascade exactly."""
+    B, P, K = 2, 64, 20
+    xy = rng.uniform(0, 300, (B, P, 2))
+    wh = rng.uniform(20, 120, (B, P, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    obj = rng.uniform(0.2, 1, (B, P)).astype(np.float32)
+    probs = np.full((B, P, K + 1), 1.0 / (K + 1), np.float32)  # every pair passes 0.01
+    raw = RawDetections(
+        boxes=jnp.asarray(boxes), objectness=jnp.asarray(obj),
+        pred_iou=jnp.asarray(obj), centerness=jnp.asarray(obj),
+        min_dist=jnp.zeros((B, P), jnp.float32),     # nothing unknown
+        pln_class=jnp.zeros((B, P), jnp.int32),
+        known_probs=jnp.asarray(probs),
+        valid=jnp.ones((B, P), bool),
+    )
+    kw = dict(
+        obj_thresh=0.05, unk_thr=0.5, known_score_thresh=0.01,
+        known_nms_thresh=0.5, known_topk=50, unknown_score_thresh=0.0,
+        unknown_nms_thresh=0.5, unknown_topk=50, unknown_id=80,
+        stage1_topk=64,
+    )
+    n_cand = P * K  # 1280 pairs above threshold per image
+
+    # cap below the candidate count: overflow must be counted exactly
+    capped = fused_cascade(raw, max_known_candidates=256, **kw)
+    assert np.asarray(capped.known_overflow).tolist() == [n_cand - 256] * B
+
+    # cap at/above the candidate count: zero overflow AND host parity
+    full = fused_cascade(raw, max_known_candidates=n_cand, **kw)
+    assert np.asarray(full.known_overflow).tolist() == [0] * B
+    cfg = PostprocessConfig(
+        obj_score_thresh=0.05, unk_thr=0.5, known_score_thresh=0.01,
+        known_nms_thresh=0.5, known_topk=50, unknown_score_thresh=0.0,
+        unknown_nms_thresh=0.5, unknown_topk=50, unknown_id=80,
+        detections_per_image=1000,
+    )
+    for i in range(B):
+        host = postprocess_image(
+            boxes[i], obj[i], np.zeros(P, np.float32), np.zeros(P, np.int64),
+            probs[i], np.ones(P, bool), (400, 400), (400, 400), cfg,
+        )
+        v = np.asarray(full.valid[i])
+        got = as_set(np.asarray(full.boxes[i])[v], np.asarray(full.scores[i])[v],
+                     np.asarray(full.classes[i])[v])
+        want = as_set(host.boxes, host.scores, host.classes)
+        assert got == want, f"image {i}\nonly-fused: {got - want}\nonly-host: {want - got}"

@@ -32,7 +32,7 @@ def test_window_roundtrip(rng):
 
 def test_vit_pyramid_shapes(rng):
     # tiny ViT for shape testing
-    model = ViTSimpleFPN(embed_dim=32, depth=2, num_heads=2, window_size=2, max_grid=(8, 8))
+    model = ViTSimpleFPN(embed_dim=32, depth=2, num_heads=2, window_size=2, pos_grid=(8, 8))
     x = jnp.zeros((1, 64, 128, 3))
     params = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(params, x)
@@ -172,7 +172,13 @@ class _TorchSimpleFPN(tnn.Module):
             "p2": self._project(up4, 2),
             "p3": self._project(up2, 3),
             "p4": self._project(x, 4),
-            "p5": self._project(x[:, ::2, ::2], 5),
+            # ViTDet SimpleFeaturePyramid scale-0.5 stage: MaxPool2d(2, 2)
+            "p5": self._project(
+                tnn.functional.max_pool2d(
+                    x.permute(0, 3, 1, 2), 2, 2
+                ).permute(0, 2, 3, 1),
+                5,
+            ),
         }
 
 
@@ -194,8 +200,14 @@ class _TorchViT(tnn.Module):
     def forward(self, img):  # (B, H, W, 3)
         x = self.patch_embed["proj"](img.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
         B, H, W, C = x.shape
-        pos = self.pos_embed.reshape(self.grid, self.grid, C)
-        x = x + pos[:H, :W]  # slice semantics — mirrors models/vit.py
+        pos = self.pos_embed.reshape(1, self.grid, self.grid, C)
+        if (H, W) != (self.grid, self.grid):
+            # d2 ViTDet get_abs_pos semantics — mirrors models/vit.py
+            pos = tnn.functional.interpolate(
+                pos.permute(0, 3, 1, 2), size=(H, W), mode="bicubic",
+                align_corners=False,
+            ).permute(0, 2, 3, 1)
+        x = x + pos.reshape(H, W, C)
         for blk in self.blocks:
             x = blk(x)
         x = self.norm(x)
@@ -219,7 +231,7 @@ def test_vit_converter_golden_parity(rng):
 
     model = ViTSimpleFPN(
         embed_dim=dim, depth=depth, num_heads=heads, window_size=window,
-        max_grid=(grid, grid), out_channels=out,
+        pos_grid=(grid, grid), out_channels=out,
     )
     x_np = (rng.randn(2, 64, 96, 3) * 0.5).astype(np.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
@@ -227,7 +239,7 @@ def test_vit_converter_golden_parity(rng):
     from openset_rcnn_tpu.utils.torch_weights import convert_vit_torch
 
     params = convert_vit_torch(
-        oracle.state_dict_with_fpn(), params, depth=depth, max_grid=(grid, grid)
+        oracle.state_dict_with_fpn(), params, depth=depth, pos_grid=(grid, grid)
     )
     ours = model.apply(params, jnp.asarray(x_np))
     with torch.no_grad():
@@ -241,14 +253,15 @@ def test_vit_converter_golden_parity(rng):
 
 def test_vit_pos_embed_interpolation(rng):
     """A pretrain-style pos_embed (1, 1+14*14, C) with class token converts
-    into the larger static table via ONE bicubic resize (the static-shape
-    analog of d2 ViTDet get_abs_pos)."""
+    into the model's native table via a TORCH-EXACT bicubic resize (A=-0.75,
+    half-pixel, clamped borders — F.interpolate parity, so a non-14x14
+    template stays faithful to d2 get_abs_pos)."""
     from openset_rcnn_tpu.utils.torch_weights import convert_vit_torch
 
     dim, depth, heads, window, grid = 16, 1, 2, 2, 6
     model = ViTSimpleFPN(
         embed_dim=dim, depth=depth, num_heads=heads, window_size=window,
-        max_grid=(grid, grid), out_channels=8,
+        pos_grid=(grid, grid), out_channels=8,
     )
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
 
@@ -258,23 +271,24 @@ def test_vit_pos_embed_interpolation(rng):
     table = rng.randn(1, 1 + 14 * 14, dim).astype(np.float32)
     sd["pos_embed"] = torch.as_tensor(table)
 
-    out = convert_vit_torch(sd, params, depth=depth, max_grid=(grid, grid))
+    out = convert_vit_torch(sd, params, depth=depth, pos_grid=(grid, grid))
     got = np.asarray(out["params"]["pos_embed"])
     assert got.shape == (grid, grid, dim)
-    want = np.asarray(
-        jax.image.resize(
-            jnp.asarray(table[0, 1:].reshape(14, 14, dim)),
-            (grid, grid, dim), method="bicubic",
-        )
-    )
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    with torch.no_grad():
+        want = tnn.functional.interpolate(
+            torch.as_tensor(table[0, 1:].reshape(1, 14, 14, dim)).permute(0, 3, 1, 2),
+            size=(grid, grid), mode="bicubic", align_corners=False,
+        ).permute(0, 2, 3, 1).numpy()[0]
+    # f32 rounding only: a wrong kernel (A=-0.5) or wrong sampling grid
+    # would show up at ~1e-2
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_vit_bf16_compute_dtype_sticks():
     """With compute_dtype=bf16 every pyramid output must be bf16 while
     params stay f32 (mixed precision; the swin.py standard)."""
     model = ViTSimpleFPN(
-        embed_dim=16, depth=2, num_heads=2, window_size=2, max_grid=(8, 8),
+        embed_dim=16, depth=2, num_heads=2, window_size=2, pos_grid=(8, 8),
         out_channels=16, compute_dtype=jnp.bfloat16,
     )
     x = jnp.zeros((1, 64, 128, 3))
@@ -290,7 +304,7 @@ def test_vit_drop_path_train_only_and_stochastic(rng):
     forward equals rate 0.0 exactly (converted-weight inference parity)."""
     x = jnp.asarray(rng.randn(4, 32, 32, 3).astype(np.float32))
     mk = lambda r: ViTSimpleFPN(
-        embed_dim=16, depth=3, num_heads=2, window_size=2, max_grid=(4, 4),
+        embed_dim=16, depth=3, num_heads=2, window_size=2, pos_grid=(4, 4),
         out_channels=8, drop_path_rate=r,
     )
     params = mk(0.8).init({"params": jax.random.PRNGKey(0)}, x)
