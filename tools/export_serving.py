@@ -18,15 +18,20 @@ The exported artifact targets the platform it is exported on (TPU under
 axon; pass --platform cpu to cross-export a CPU-runnable artifact for
 testing). Round-trip is covered by tests/test_export_serving.py.
 
-CAVEAT (round 4): this exports forward+cascade as ONE program. At serving
-batch sizes (the --batch default 8 with modest proposal counts) that is
-fine, but the eval harness observed a reproducible TPU worker crash for
-the SAME combined program at bulk-eval scale (batch 16, ~4k
-proposals/img) and therefore runs forward and cascade as two chained
-dispatches (evaluation/testing.py, PERFORMANCE.md "eval split dispatch").
-If a deployment pushes the exported artifact to that scale and hits
-instability, export two artifacts (inference_forward and fused_cascade)
-and chain them the same way.
+``--split`` (the recommended deployment configuration) exports TWO chained
+artifacts instead — ``<out>.fwd`` (images -> raw per-proposal tensors) and
+``<out>.casc`` (raw tensors -> ServeDetections) — the same split the eval
+harness runs (evaluation/testing.py): the combined single program
+reproducibly crashed the TPU worker at bulk-eval scale (batch 16, ~4k
+proposals/img; PERFORMANCE.md "eval split dispatch"), while the chained
+pair is stable AND faster (89.7 img/s, BENCH_EVAL_r04.json). Consumer:
+
+    fwd = export.deserialize(open("serving.fwd", "rb").read()).call
+    casc = export.deserialize(open("serving.casc", "rb").read()).call
+    dets = casc(*fwd(images_f32, image_hw))   # padded ServeDetections
+
+The single-program export (no --split) remains for small-batch serving
+where one dispatch is preferable.
 """
 from __future__ import annotations
 
@@ -83,12 +88,48 @@ def build_serving_fn(cfg, params_override=None):
     return infer, post_cfg
 
 
+def build_split_serving_fns(infer, bucket):
+    """The crash-free deployment configuration: two chained jitted fns
+    mirroring evaluation/testing._TwoStageInference — ``fwd(images, hw)``
+    returns the 8 RawDetections fields as a flat tuple (plain pytrees
+    serialize without custom registration), ``casc(*raw)`` maps them to
+    ServeDetections. ``casc(*fwd(images, hw))`` == the fused single
+    program."""
+    import jax
+
+    two = infer._cache[bucket]
+    raw_c, casc_c = two.raw_c, two.casc_c
+    params = infer.params
+
+    def fwd(im, ihw):
+        r = raw_c(params, im, ihw)
+        return (r.boxes, r.objectness, r.pred_iou, r.centerness,
+                r.min_dist, r.pln_class, r.known_probs, r.valid)
+
+    def casc(boxes, objectness, pred_iou, centerness, min_dist, pln_class,
+             known_probs, valid):
+        from openset_rcnn_tpu.structures import RawDetections
+
+        return casc_c(RawDetections(
+            boxes=boxes, objectness=objectness, pred_iou=pred_iou,
+            centerness=centerness, min_dist=min_dist, pln_class=pln_class,
+            known_probs=known_probs, valid=valid,
+        ))
+
+    return jax.jit(fwd), jax.jit(casc)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", required=True)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--out", required=True)
     p.add_argument("--platform", default="", help="export platform override (e.g. cpu)")
+    p.add_argument(
+        "--split", action="store_true",
+        help="export the chained forward+cascade pair (<out>.fwd + <out>.casc)"
+        " — the crash-free configuration the eval harness runs",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args()
 
@@ -113,18 +154,33 @@ def main():
     # CompiledInference.__call__ closes over params; export the cached
     # jitted callable for the bucket shape.
     infer(images, hw)  # populate cache / compile
-    fn = infer._cache[(bh, bw)]
-    params = infer.params
-    wrapped = jax.jit(lambda im, ihw: fn(params, im, ihw))
     platforms = [args.platform] if args.platform else None
-    exported = jexport.export(wrapped, platforms=platforms)(images, hw)
-    data = exported.serialize()
-    with open(args.out, "wb") as f:
-        f.write(data)
-    print(
-        f"wrote {args.out} ({len(data) / 1e6:.1f} MB, platforms={exported.platforms}, "
-        f"input ({args.batch}, {bh}, {bw}, 3))"
-    )
+    if args.split:
+        fwd, casc = build_split_serving_fns(infer, (bh, bw))
+        e_fwd = jexport.export(fwd, platforms=platforms)(images, hw)
+        raw_shapes = jax.eval_shape(fwd, images, hw)
+        e_casc = jexport.export(casc, platforms=platforms)(*raw_shapes)
+        for suffix, exported in ((".fwd", e_fwd), (".casc", e_casc)):
+            data = exported.serialize()
+            with open(args.out + suffix, "wb") as f:
+                f.write(data)
+            print(
+                f"wrote {args.out}{suffix} ({len(data) / 1e6:.1f} MB, "
+                f"platforms={exported.platforms})"
+            )
+        print(f"chain: casc(*fwd(images ({args.batch}, {bh}, {bw}, 3), image_hw))")
+    else:
+        fn = infer._cache[(bh, bw)]
+        params = infer.params
+        wrapped = jax.jit(lambda im, ihw: fn(params, im, ihw))
+        exported = jexport.export(wrapped, platforms=platforms)(images, hw)
+        data = exported.serialize()
+        with open(args.out, "wb") as f:
+            f.write(data)
+        print(
+            f"wrote {args.out} ({len(data) / 1e6:.1f} MB, platforms={exported.platforms}, "
+            f"input ({args.batch}, {bh}, {bw}, 3))"
+        )
 
 
 if __name__ == "__main__":
