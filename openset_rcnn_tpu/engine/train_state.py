@@ -37,10 +37,30 @@ def make_train_step(
     anchors,
     level_sizes: Sequence[int],
     lr_schedule: Callable | None = None,
+    stop_frozen_grads: bool = True,
 ) -> Callable[[TrainState, ImageBatch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     anchors = jnp.asarray(anchors)
 
     def loss_fn(params, batch, rng):
+        if stop_frozen_grads:
+            # Frozen leaves (FrozenBN affines/statistics + stages below
+            # FREEZE_AT) receive exactly-zero updates via the optax mask
+            # (optimizer.py) — but without stop_gradient their cotangents
+            # are still COMPUTED then discarded: every FrozenBN scale/bias
+            # grad is a full per-channel reduction over its feature map.
+            # stop_gradient makes those cotangents structurally zero so XLA
+            # dead-code-eliminates the frozen backward subgraph (measured
+            # NEUTRAL on the production config — XLA already fuses the
+            # reductions into the conv fusions — but kept so the dead
+            # compute stays dead on any config; PERFORMANCE.md round 5).
+            # Updates are bit-identical: frozen updates were already zero,
+            # and the global-norm clip sees only trainable leaves either way.
+            from .optimizer import trainable_mask
+
+            mask = trainable_mask(params, spec.freeze_at)
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p), params, mask
+            )
         losses, stats = training_losses_and_stats(
             module, params, batch, rng, spec, anchors, level_sizes
         )

@@ -9,7 +9,17 @@ exercises ONLY the suspected stage, controlled by env vars:
   STAGE=pool      just pool_features (pallas fwd) on the eval proposals
   STAGE=heads     pool + box head + predictor heads
   STAGE=raw       inference_forward (no fused cascade)
-  STAGE=cascade   inference_forward + fused_cascade (the full bench graph)
+  STAGE=cascade   inference_forward + fused_cascade via CompiledInference
+                  (round 4: this was ONE program and crashed; since the
+                  split fix it chains two jits and no longer reproduces)
+  STAGE=fused     the ORIGINAL crashing configuration: forward + cascade
+                  in ONE jitted program (round-5 bisection entry)
+  STAGE=memstats  AOT-compile fused vs the two split halves and print
+                  XLA memory_analysis — no execution, crash-free evidence
+  SUB=topk|known|unknown  (with STAGE=fused) keep only that cascade stage
+  STUB=1          (with STAGE=fused) replace the ResNet+FPN backbone with
+                  a single strided conv per level (same feature shapes) —
+                  if the crash survives, the repro does not need the trunk
   R=<n>           override proposals per image (default: real top-k count)
   B=<n>           batch (default 16)
   IMPL=pallas|gather
@@ -70,6 +80,126 @@ def main():
         forced = lambda b, s, v, t, use_pallas=None: orig(b, s, v, t, use_pallas=False)
         nms_mod.nms_mask = forced
         serving_mod.nms_mask = forced
+
+    if STAGE in ("fused", "memstats"):
+        # the ORIGINAL round-4 crashing configuration: backbone + CF-RPN +
+        # ROI heads + fused cascade as ONE jitted program (evaluation/
+        # testing.py now splits this into two chained jits as the fix)
+        from openset_rcnn_tpu.models.serving import fused_cascade
+
+        if os.environ.get("STUB") == "1":
+            # bypass ResNet+FPN: same feature shapes from strided slices of
+            # the image (one channel broadcast to 256) — isolates whether
+            # the crash needs the trunk's convs in the program
+            dt = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
+
+            def features_fn(im):
+                x = (im[..., :1] / 255.0).astype(dt)
+                return {
+                    f"p{i+2}": jnp.tile(x[:, :: 4 * 2**i, :: 4 * 2**i, :], (1, 1, 1, 256))
+                    for i in range(5)
+                }
+        else:
+            features_fn = None
+
+        from openset_rcnn_tpu.models.detector import raw_detections
+        from openset_rcnn_tpu.ops import Box2BoxTransform
+
+        def raw_fn(p, im, ih):
+            if features_fn is None:
+                return inference_forward(module, p, im, ih, spec, anchors, level_sizes)
+            fpn_feats = features_fn(im)
+            linear_tf = Box2BoxTransformLinear(normalize_by_size=True)
+            roi_tf = Box2BoxTransform(spec.bbox_reg_weights)
+            pred_deltas, pred_ctr, _ = module.apply(
+                {"params": p}, fpn_feats, method=M.rpn_predictions
+            )
+            props = select_proposals(
+                anchors, pred_deltas, pred_ctr, level_sizes, ih, linear_tf,
+                pre_topk=spec.pre_nms_topk_test, min_box_size=spec.min_box_size,
+            )
+            _, deltas, iou, emb, rec, reps, logits = module.apply(
+                {"params": p}, fpn_feats, props.boxes, method=M.roi_forward
+            )
+            return raw_detections(
+                props, deltas, iou, emb, reps, logits, ih, roi_tf,
+                spec.num_known_classes, spec.reps_per_class,
+                mean_type=spec.mean_type, distance_type=spec.distance_type,
+            )
+
+        SUB = os.environ.get("SUB")
+
+        def casc_fn(raw):
+            if SUB is None:
+                out = fused_cascade(raw, stage1_topk=1000, max_known_candidates=2000)
+                return out.scores.sum()
+            from openset_rcnn_tpu.ops import batched_nms_mask, nms_mask
+
+            def single(b, o, m, pr, v):
+                keep1 = v & (o > 0.05)
+                s1, i1 = jax.lax.top_k(jnp.where(keep1, o, -jnp.inf), 1000)
+                v1 = jnp.isfinite(s1)
+                boxes1 = b[i1]
+                probs1 = pr[i1][:, :-1]
+                obj1 = jnp.where(v1, o[i1], 0.0)
+                if SUB == "topk":
+                    return boxes1.sum() + obj1.sum()
+                is_unknown = m[i1] > 0.23
+                if SUB == "known":
+                    cand = (~is_unknown[:, None]) & v1[:, None] & (probs1 > 0.05)
+                    ks = jnp.where(cand, probs1, -jnp.inf).reshape(-1)
+                    cs, ci = jax.lax.top_k(ks, 2000)
+                    cv = jnp.isfinite(cs)
+                    K = probs1.shape[-1]
+                    res = batched_nms_mask(
+                        boxes1[ci // K], jnp.where(cv, cs, 0.0),
+                        (ci % K).astype(jnp.int32), cv, 0.5)
+                    return res.keep.sum()
+                umask = is_unknown & v1
+                ures = nms_mask(boxes1, jnp.where(umask, obj1, 0.0), umask, 0.5)
+                return ures.keep.sum()
+
+            return jax.vmap(single)(
+                raw.boxes, raw.objectness, raw.min_dist, raw.known_probs, raw.valid
+            ).sum()
+
+        def fused_fn(p, im, ih):
+            return casc_fn(raw_fn(p, im, ih))
+
+        if STAGE == "memstats":
+            import math
+
+            def report(tag, compiled):
+                try:
+                    ma = compiled.memory_analysis()
+                except Exception as e:  # backend-version dependent surface
+                    print(f"{tag}: memory_analysis unavailable ({e})")
+                    return
+                fields = [f for f in dir(ma) if f.endswith("_in_bytes")]
+                parts = {f: getattr(ma, f) for f in fields}
+                pretty = ", ".join(
+                    f"{f.replace('_size_in_bytes','')}={v/2**30:.2f}GiB"
+                    for f, v in sorted(parts.items(), key=lambda kv: -kv[1]))
+                print(f"{tag}: {pretty}")
+
+            report("fused(one program)",
+                   jax.jit(fused_fn).lower(params, images, hw).compile())
+            report("split: raw half",
+                   jax.jit(raw_fn).lower(params, images, hw).compile())
+            raw_sds = jax.eval_shape(raw_fn, params, images, hw)
+            report("split: cascade half",
+                   jax.jit(casc_fn).lower(raw_sds).compile())
+            return
+
+        import time
+
+        fused_c = jax.jit(fused_fn)
+        for it in range(3):
+            t0 = time.perf_counter()
+            s = float(fused_c(params, images, hw))
+            print(f"fused iter {it}: ok sum={s:.2f} {time.perf_counter()-t0:.2f}s "
+                  f"(B={B} STUB={os.environ.get('STUB')} SUB={SUB} NMS={os.environ.get('NMS')})")
+        return
 
     if STAGE == "cascade_only":
         # run JUST fused_cascade on synthetic raw-detection tensors shaped

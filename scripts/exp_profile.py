@@ -1,12 +1,17 @@
-"""Capture a profiler trace of the batch-8 train step and print the top
-device ops by total duration (parses the xplane proto directly).
+"""Capture a profiler trace of the production-config train step and print
+the top device ops by total duration (parses the xplane proto directly).
+
+The profiled configuration is bench.py's: the checked-in production yaml
+(configs/VOC-COCO/openset_rcnn_R50_FPN_128k_tpu.yaml — bf16, batch 16,
+pallas_bf16 RoIAlign-grad accumulators) + the same BENCH_* env overrides.
+Prints device-busy ms/step by op family, plus device-busy MFU next to
+wall MFU (VERDICT r4 item 4).
 
 Usage: PYTHONPATH=. python scripts/exp_profile.py [out_dir]
 """
 from __future__ import annotations
 
 import glob
-import gzip
 import os
 import sys
 
@@ -15,28 +20,24 @@ import jax.numpy as jnp
 import numpy as np
 
 H, W = 832, 1344
-BATCH = int(os.environ.get("BENCH_BATCH", 8))
-DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # match bench.py's default
+PROFILE_STEPS = 5
+# Ceiling math (PERFORMANCE.md "Train-perf levers"): ~0.98 TFLOP/img
+# trained (fwd+bwd) at 832x1344; v5e bf16 peak ~197 TFLOP/s.
+TFLOP_PER_IMG = 0.98
+V5E_PEAK_TFLOPS = 197.0
 
 
 def build():
-    from openset_rcnn_tpu.config import get_default_cfg
     from openset_rcnn_tpu.engine import build_optimizer, create_train_state, make_train_step
-    from openset_rcnn_tpu.models import (
-        ModelSpec,
-        OpensetRCNNModule,
-        compute_anchors,
-        opendet_id_map,
-    )
+    from openset_rcnn_tpu.engine.train_loop import build_model_spec
+    from openset_rcnn_tpu.models import OpensetRCNNModule, compute_anchors
     from openset_rcnn_tpu.structures import GroundTruth, ImageBatch
 
-    cfg = get_default_cfg()
-    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 81
-    cfg.MODEL.ROI_HEADS.NUM_KNOWN_CLASSES = 20
-    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
-    cfg.OPENDET_BENCHMARK = True
-    cfg.TPU.DTYPE = DTYPE
-    spec = ModelSpec.from_cfg(cfg, opendet_id_map(81, 20))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import load_bench_cfg
+
+    cfg = load_bench_cfg()
+    spec = build_model_spec(cfg)
     module = OpensetRCNNModule(spec=spec)
     params = jax.jit(
         lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
@@ -49,6 +50,9 @@ def build():
         donate_argnums=0,
     )
 
+    BATCH = cfg.SOLVER.IMS_PER_BATCH
+    print(f"profiling config: batch={BATCH} dtype={cfg.TPU.DTYPE} "
+          f"roi_align_bwd={cfg.TPU.ROI_ALIGN_BWD}")
     rng = np.random.RandomState(0)
     G = 100
     boxes = np.zeros((BATCH, G, 4), np.float32)
@@ -68,7 +72,8 @@ def build():
     return step_fn, state, batch
 
 
-def summarize(out_dir: str, top: int = 30):
+def summarize(out_dir: str, top: int = 30, batch: int | None = None,
+              steps: int = PROFILE_STEPS, wall_ms_per_step: float | None = None):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
     paths = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True)
@@ -76,6 +81,7 @@ def summarize(out_dir: str, top: int = 30):
         print("no xplane found under", out_dir)
         return
     totals = {}
+    compute_iv, any_iv = [], []  # (start_ps, end_ps) for interval unions
     for path in paths:
         xs = xplane_pb2.XSpace()
         with open(path, "rb") as f:
@@ -90,6 +96,27 @@ def summarize(out_dir: str, top: int = 30):
                 for ev in line.events:
                     name = emeta.get(ev.metadata_id, str(ev.metadata_id))
                     totals[name] = totals.get(name, 0) + ev.duration_ps
+                    iv = (line.timestamp_ns * 1000 + ev.offset_ps,
+                          line.timestamp_ns * 1000 + ev.offset_ps + ev.duration_ps)
+                    any_iv.append(iv)
+                    # async -start ops' duration is issue->complete latency,
+                    # overlapping compute (weight/arg prefetches) — exclude
+                    # from the TensorCore-busy union
+                    if "-start" not in name.split(" =")[0]:
+                        compute_iv.append(iv)
+
+    def union_ms(ivs):
+        if not ivs:
+            return 0.0
+        ivs = sorted(ivs)
+        tot, cs, ce = 0, *ivs[0]
+        for s, e in ivs[1:]:
+            if s > ce:
+                tot += ce - cs
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        return (tot + ce - cs) / 1e9
     rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
     tot = sum(totals.values())
     print(f"total device op time: {tot/1e9:.2f} ms (all steps)")
@@ -108,25 +135,50 @@ def summarize(out_dir: str, top: int = 30):
         if "fusion" in key:
             key = "fusion"
         groups[key] = groups.get(key, 0) + ps
-    print("\nby op family:")
+    print("\nby op family (per profiled step):")
     for key, ps in sorted(groups.items(), key=lambda kv: -kv[1])[:15]:
-        print(f"{ps/1e9:9.2f} ms  {100*ps/tot:5.1f}%  {key}")
+        print(f"{ps/1e9/steps:9.2f} ms  {100*ps/tot:5.1f}%  {key}")
+
+    busy_any = union_ms(any_iv) / steps
+    busy_compute = union_ms(compute_iv) / steps
+    print(f"\nbusy (interval union): any-op {busy_any:.1f} ms/step, "
+          f"compute (excl. async -start) {busy_compute:.1f} ms/step; "
+          f"summed-duration total {tot/1e9/steps:.1f} ms/step "
+          f"(inflated by async wait)")
+    if batch is not None:
+        tflop_step = TFLOP_PER_IMG * batch
+        busy_mfu = tflop_step / (busy_compute / 1e3) / V5E_PEAK_TFLOPS
+        print(f"MFU: compute-busy {busy_compute:.1f} ms/step -> "
+              f"{tflop_step/(busy_compute/1e3):.1f} TFLOP/s = "
+              f"{100*busy_mfu:.1f}% device-busy MFU", end="")
+        if wall_ms_per_step:
+            wall_mfu = tflop_step / (wall_ms_per_step / 1e3) / V5E_PEAK_TFLOPS
+            print(f"; wall {wall_ms_per_step:.1f} ms/step -> "
+                  f"{100*wall_mfu:.1f}% wall MFU "
+                  f"(wall/busy {wall_ms_per_step/busy_compute:.2f}x)")
+        else:
+            print()
 
 
 def main():
+    import time
+
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/exp_profile"
     step_fn, state, batch = build()
+    nimg = int(batch.images.shape[0])
     key = jax.random.PRNGKey(0)
     for _ in range(3):  # warmup / compile
         state, m = step_fn(state, batch, key)
     _ = float(m["total_loss"])
     jax.profiler.start_trace(out_dir)
-    for _ in range(5):
+    t0 = time.perf_counter()
+    for _ in range(PROFILE_STEPS):
         state, m = step_fn(state, batch, key)
     _ = float(m["total_loss"])
+    wall_ms = (time.perf_counter() - t0) * 1e3 / PROFILE_STEPS
     jax.profiler.stop_trace()
     print("trace written to", out_dir)
-    summarize(out_dir)
+    summarize(out_dir, batch=nimg, wall_ms_per_step=wall_ms)
 
 
 if __name__ == "__main__":
