@@ -129,10 +129,19 @@ def main():
 
         SUB = os.environ.get("SUB")
 
+        TOPK = int(os.environ.get("TOPK", 1000))  # crash config had 100
+        MKC = int(os.environ.get("MKC", 2000))   # 1999 breaks k==n in the
+        # known-branch top_k (at TOPK=100, 2000 == 100*20 flattened cands)
+
         def casc_fn(raw):
             if SUB is None:
-                out = fused_cascade(raw, stage1_topk=1000, max_known_candidates=2000)
-                return out.scores.sum()
+                # full padded ServeDetections output — the faithful round-4
+                # crashing graph (SUM=1 reduces to a scalar instead, which
+                # changes the program tail)
+                out = fused_cascade(raw, stage1_topk=TOPK, max_known_candidates=MKC)
+                if os.environ.get("SUM") == "1":
+                    return out.scores.sum()
+                return out
             from openset_rcnn_tpu.ops import batched_nms_mask, nms_mask
 
             def single(b, o, m, pr, v):
@@ -196,7 +205,8 @@ def main():
         fused_c = jax.jit(fused_fn)
         for it in range(3):
             t0 = time.perf_counter()
-            s = float(fused_c(params, images, hw))
+            out = fused_c(params, images, hw)
+            s = float(out.scores.sum()) if hasattr(out, "scores") else float(out)
             print(f"fused iter {it}: ok sum={s:.2f} {time.perf_counter()-t0:.2f}s "
                   f"(B={B} STUB={os.environ.get('STUB')} SUB={SUB} NMS={os.environ.get('NMS')})")
         return
@@ -222,10 +232,11 @@ def main():
             pred_iou=obj,
             centerness=obj,
         )
-        fn = jax.jit(lambda rw: fused_cascade(rw, stage1_topk=1000,
+        topk = int(os.environ.get("TOPK", 1000))
+        fn = jax.jit(lambda rw: fused_cascade(rw, stage1_topk=topk,
                                               max_known_candidates=2000))
         out = fn(raw)
-        print("cascade_only ok:", B, P, float(out.scores.sum()))
+        print("cascade_only ok:", B, P, topk, float(out.scores.sum()))
         return
 
     if STAGE == "parity":
