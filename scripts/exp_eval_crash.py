@@ -146,7 +146,7 @@ def main():
 
             def single(b, o, m, pr, v):
                 keep1 = v & (o > 0.05)
-                s1, i1 = jax.lax.top_k(jnp.where(keep1, o, -jnp.inf), 1000)
+                s1, i1 = jax.lax.top_k(jnp.where(keep1, o, -jnp.inf), TOPK)
                 v1 = jnp.isfinite(s1)
                 boxes1 = b[i1]
                 probs1 = pr[i1][:, :-1]
@@ -157,7 +157,7 @@ def main():
                 if SUB == "known":
                     cand = (~is_unknown[:, None]) & v1[:, None] & (probs1 > 0.05)
                     ks = jnp.where(cand, probs1, -jnp.inf).reshape(-1)
-                    cs, ci = jax.lax.top_k(ks, 2000)
+                    cs, ci = jax.lax.top_k(ks, min(MKC, ks.shape[0]))
                     cv = jnp.isfinite(cs)
                     K = probs1.shape[-1]
                     res = batched_nms_mask(

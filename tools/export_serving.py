@@ -21,17 +21,21 @@ testing). Round-trip is covered by tests/test_export_serving.py.
 ``--split`` (the recommended deployment configuration) exports TWO chained
 artifacts instead — ``<out>.fwd`` (images -> raw per-proposal tensors) and
 ``<out>.casc`` (raw tensors -> ServeDetections) — the same split the eval
-harness runs (evaluation/testing.py): the combined single program
-reproducibly crashed the TPU worker at bulk-eval scale (batch 16, ~4k
-proposals/img; PERFORMANCE.md "eval split dispatch"), while the chained
-pair is stable AND faster (89.7 img/s, BENCH_EVAL_r04.json). Consumer:
+harness runs (evaluation/testing.py), which benches FASTER than the single
+program (89.7 img/s, BENCH_EVAL_r04.json). Round-5 bisection
+(PERFORMANCE.md "root cause of the fused-eval worker crash") pinned the
+round-4 single-program TPU worker crash to forward+cascade fused with a
+SMALL ``TEST.DETECTIONS_PER_IMAGE`` (the yacs default 100); the single
+program at the benchmark configs' value (1000) is execution-validated at
+batch 16. Consumer:
 
     fwd = export.deserialize(open("serving.fwd", "rb").read()).call
     casc = export.deserialize(open("serving.casc", "rb").read()).call
     dets = casc(*fwd(images_f32, image_hw))   # padded ServeDetections
 
 The single-program export (no --split) remains for small-batch serving
-where one dispatch is preferable.
+where one dispatch is preferable; it warns when cfg asks for a small
+stage-1 top-k (the off-envelope configuration).
 """
 from __future__ import annotations
 
@@ -170,6 +174,19 @@ def main():
             )
         print(f"chain: casc(*fwd(images ({args.batch}, {bh}, {bw}, 3), image_hw))")
     else:
+        if cfg.TEST.DETECTIONS_PER_IMAGE < 1000:
+            # round-5 bisection: forward+cascade fused into ONE program with
+            # a small stage-1 top-k (the yacs default 100) deterministically
+            # crashes the TPU worker; topk=1000 (the benchmark configs'
+            # value) is execution-validated. PERFORMANCE.md "root cause of
+            # the fused-eval worker crash".
+            print(
+                f"WARNING: single-program export with TEST.DETECTIONS_PER_IMAGE="
+                f"{cfg.TEST.DETECTIONS_PER_IMAGE} < 1000 is OFF the validated"
+                f" envelope (known TPU worker crash at 100); use --split or"
+                f" DETECTIONS_PER_IMAGE 1000",
+                file=sys.stderr,
+            )
         fn = infer._cache[(bh, bw)]
         params = infer.params
         wrapped = jax.jit(lambda im, ihw: fn(params, im, ihw))
