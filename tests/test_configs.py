@@ -165,3 +165,9 @@ def test_production_tpu_config_matches_bench():
     assert bcfg.TPU.DTYPE == "bfloat16"
     assert bcfg.TPU.ROI_ALIGN_BWD == "pallas_bf16"
     assert bcfg.SOLVER.IMS_PER_BATCH == 16
+    # The eval bench (bench_eval.py) shares this cfg. Its stage-1 top-k
+    # MUST stay at the benchmark value 1000: the yacs default (100) is the
+    # configuration that deterministically crashes the TPU worker in any
+    # single-program forward+cascade graph (PERFORMANCE.md round-5 root
+    # cause) — and it is also what the reference evaluates with.
+    assert bcfg.TEST.DETECTIONS_PER_IMAGE == 1000
