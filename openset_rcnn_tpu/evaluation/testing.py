@@ -102,12 +102,16 @@ class CompiledInference:
 
             # The forward and the cascade are TWO chained jits (device arrays
             # flow between them; dispatches pipeline, still one host sync per
-            # pull). Fusing both into one program reproducibly crashes the
-            # TPU worker at production eval scale (B=16, ~4k proposals/img)
-            # while each half runs clean in isolation — an XLA
-            # scheduling/allocation interaction documented in
-            # PERFORMANCE.md "eval split dispatch" (round 4); the split
-            # benches at 89.7 img/s batch 16 (BENCH_EVAL_r04.json).
+            # pull). Fusing both into one program deterministically crashes
+            # the TPU worker when detections_per_image is SMALL (the yacs
+            # default 100): round-5 bisection pinned it to the known-branch
+            # candidate selection (near-full top_k + tiny gather table)
+            # fused with the forward — not memory (3.8 of 16 GiB), not the
+            # Pallas kernels; topk=1000 (the benchmark configs) is
+            # execution-validated clean. The split is kept for ALL configs:
+            # it is crash-free everywhere AND faster (87.9 img/s batch 16
+            # at topk=1000, BENCH_EVAL_r05.json, vs ~76 fused).
+            # PERFORMANCE.md "root cause of the fused-eval worker crash".
             if self.mesh is None:
                 raw_c = jax.jit(raw_fn)
                 casc_c = jax.jit(casc_fn) if pc is not None else None

@@ -1,10 +1,16 @@
-"""Isolate the eval-path TPU worker crash (round 4).
+"""Isolate the eval-path TPU worker crash (round 4; ROOT-CAUSED round 5).
 
-bench_eval.py (fused eval at batch 16, ~3882 proposals/img) reliably kills
-the tunneled TPU worker, while the train bench (batch 16, 512 RoIs/img)
-and entry() run fine. This driver rebuilds the exact eval proposal
-distribution (same model, same random init, same select_proposals) and
-exercises ONLY the suspected stage, controlled by env vars:
+Round-5 result (full probe table in PERFORMANCE.md): the crash is the
+KNOWN-branch candidate selection at a small stage-1 top-k
+(TEST.DETECTIONS_PER_IMAGE=100, the yacs default the round-4 bench_eval
+accidentally measured) fused into one program with the forward —
+`STAGE=fused TOPK=100 SUB=known` crashes; the same branch compiled alone,
+the unknown/stage-1-only variants, and the full program at TOPK=1000 all
+run clean; AOT memory_analysis shows 3.8 of 16 GiB (not OOM).
+
+This driver rebuilds the exact eval proposal distribution (same model,
+same random init, same select_proposals) and exercises ONLY the suspected
+stage, controlled by env vars:
 
   STAGE=pool      just pool_features (pallas fwd) on the eval proposals
   STAGE=heads     pool + box head + predictor heads
