@@ -108,10 +108,11 @@ class CompiledInference:
             # candidate selection (near-full top_k + tiny gather table)
             # fused with the forward — not memory (3.8 of 16 GiB), not the
             # Pallas kernels; topk=1000 (the benchmark configs) is
-            # execution-validated clean. The split is kept for ALL configs:
-            # it is crash-free everywhere AND faster (87.9 img/s batch 16
-            # at topk=1000, BENCH_EVAL_r05.json, vs ~76 fused).
-            # PERFORMANCE.md "root cause of the fused-eval worker crash".
+            # execution-validated clean. The split is kept for ALL configs
+            # because it is crash-free everywhere at zero throughput cost:
+            # chained-slope measured 87.9 img/s split vs 88.1 fused at
+            # batch 16 / topk=1000 (BENCH_EVAL_r05.json; equal within
+            # noise). PERFORMANCE.md "root cause of the fused-eval crash".
             if self.mesh is None:
                 raw_c = jax.jit(raw_fn)
                 casc_c = jax.jit(casc_fn) if pc is not None else None

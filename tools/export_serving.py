@@ -21,8 +21,9 @@ testing). Round-trip is covered by tests/test_export_serving.py.
 ``--split`` (the recommended deployment configuration) exports TWO chained
 artifacts instead — ``<out>.fwd`` (images -> raw per-proposal tensors) and
 ``<out>.casc`` (raw tensors -> ServeDetections) — the same split the eval
-harness runs (evaluation/testing.py), which benches FASTER than the single
-program (89.7 img/s, BENCH_EVAL_r04.json). Round-5 bisection
+harness runs (evaluation/testing.py), throughput-neutral vs the single
+program (87.9 vs 88.1 img/s chained, BENCH_EVAL_r05.json) and crash-free
+for every config. Round-5 bisection
 (PERFORMANCE.md "root cause of the fused-eval worker crash") pinned the
 round-4 single-program TPU worker crash to forward+cascade fused with a
 SMALL ``TEST.DETECTIONS_PER_IMAGE`` (the yacs default 100); the single
