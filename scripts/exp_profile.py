@@ -82,6 +82,7 @@ def summarize(out_dir: str, top: int = 30, batch: int | None = None,
         return
     totals = {}
     compute_iv, any_iv = [], []  # (start_ps, end_ps) for interval unions
+    model_flops = {}  # per unique op, from XLA's own op stats
     for path in paths:
         xs = xplane_pb2.XSpace()
         with open(path, "rb") as f:
@@ -89,13 +90,19 @@ def summarize(out_dir: str, top: int = 30, batch: int | None = None,
         for plane in xs.planes:
             if "TPU" not in plane.name and "tpu" not in plane.name.lower():
                 continue
-            emeta = {k: v.name for k, v in plane.event_metadata.items()}
+            emeta = plane.event_metadata
+            smeta = {k: v.name for k, v in plane.stat_metadata.items()}
             for line in plane.lines:
                 if "XLA Ops" not in line.name and "ops" not in line.name.lower():
                     continue
                 for ev in line.events:
-                    name = emeta.get(ev.metadata_id, str(ev.metadata_id))
+                    em = emeta.get(ev.metadata_id)
+                    name = em.name if em else str(ev.metadata_id)
                     totals[name] = totals.get(name, 0) + ev.duration_ps
+                    if em is not None and name not in model_flops:
+                        for s in em.stats:
+                            if smeta.get(s.metadata_id) == "model_flops":
+                                model_flops[name] = s.int64_value or s.uint64_value
                     iv = (line.timestamp_ns * 1000 + ev.offset_ps,
                           line.timestamp_ns * 1000 + ev.offset_ps + ev.duration_ps)
                     any_iv.append(iv)
@@ -145,10 +152,22 @@ def summarize(out_dir: str, top: int = 30, batch: int | None = None,
           f"compute (excl. async -start) {busy_compute:.1f} ms/step; "
           f"summed-duration total {tot/1e9/steps:.1f} ms/step "
           f"(inflated by async wait)")
-    if batch is not None:
-        tflop_step = TFLOP_PER_IMG * batch
+    measured_any = sum(model_flops.values()) > 0
+    if batch is not None or measured_any:
+        measured = sum(model_flops.values()) / 1e12
+        if measured > 0:
+            # XLA's own per-op model_flops (each unique HLO op executes once
+            # per step) — supersedes the hand estimate
+            tflop_step = measured
+            src = "XLA model_flops"
+        elif batch is not None:
+            tflop_step = TFLOP_PER_IMG * batch
+            src = f"hand estimate {TFLOP_PER_IMG} TFLOP/img"
+        else:
+            return
         busy_mfu = tflop_step / (busy_compute / 1e3) / V5E_PEAK_TFLOPS
-        print(f"MFU: compute-busy {busy_compute:.1f} ms/step -> "
+        print(f"MFU ({tflop_step:.1f} TFLOP/step, {src}): "
+              f"compute-busy {busy_compute:.1f} ms/step -> "
               f"{tflop_step/(busy_compute/1e3):.1f} TFLOP/s = "
               f"{100*busy_mfu:.1f}% device-busy MFU", end="")
         if wall_ms_per_step:
