@@ -83,6 +83,7 @@ def summarize(out_dir: str, top: int = 30, batch: int | None = None,
     totals = {}
     compute_iv, any_iv = [], []  # (start_ps, end_ps) for interval unions
     model_flops = {}  # per unique op, from XLA's own op stats
+    op_meta = {}      # name -> (hlo_category, bytes_accessed)
     for path in paths:
         xs = xplane_pb2.XSpace()
         with open(path, "rb") as f:
@@ -100,9 +101,16 @@ def summarize(out_dir: str, top: int = 30, batch: int | None = None,
                     name = em.name if em else str(ev.metadata_id)
                     totals[name] = totals.get(name, 0) + ev.duration_ps
                     if em is not None and name not in model_flops:
+                        cat, nbytes = "", 0
                         for s in em.stats:
-                            if smeta.get(s.metadata_id) == "model_flops":
+                            key = smeta.get(s.metadata_id)
+                            if key == "model_flops":
                                 model_flops[name] = s.int64_value or s.uint64_value
+                            elif key == "hlo_category":
+                                cat = s.str_value
+                            elif key == "bytes_accessed":
+                                nbytes = s.int64_value or s.uint64_value
+                        op_meta[name] = (cat, nbytes)
                     iv = (line.timestamp_ns * 1000 + ev.offset_ps,
                           line.timestamp_ns * 1000 + ev.offset_ps + ev.duration_ps)
                     any_iv.append(iv)
@@ -145,6 +153,28 @@ def summarize(out_dir: str, top: int = 30, batch: int | None = None,
     print("\nby op family (per profiled step):")
     for key, ps in sorted(groups.items(), key=lambda kv: -kv[1])[:15]:
         print(f"{ps/1e9/steps:9.2f} ms  {100*ps/tot:5.1f}%  {key}")
+
+    # roofline by XLA hlo_category: achieved TFLOP/s, HBM GiB/s, MFU%
+    if op_meta:
+        cats = {}
+        for name, ps in totals.items():
+            cat, nbytes = op_meta.get(name, ("?", 0))
+            a = cats.setdefault(cat or "?", [0, 0, 0])
+            a[0] += ps
+            a[1] += model_flops.get(name, 0)
+            a[2] += nbytes
+        print(f"\nroofline by hlo_category (per step; v5e peaks ~197 bf16 "
+              f"TFLOP/s, ~810 GB/s HBM):")
+        print(f"{'category':24} {'ms/step':>8} {'TFLOP/s':>8} {'GiB/s':>7} {'MFU%':>6}")
+        for cat, (ps, fl, by) in sorted(cats.items(), key=lambda kv: -kv[1][0]):
+            ms = ps / 1e9 / steps
+            if ms < 0.3:
+                continue
+            # fl/by are per-execution (recorded once per unique op, each op
+            # runs once per step) -> already per-step totals
+            sec = ms / 1e3
+            print(f"{cat:24} {ms:8.1f} {fl/1e12/sec:8.1f} "
+                  f"{by/2**30/sec:7.0f} {100*fl/1e12/sec/V5E_PEAK_TFLOPS:6.1f}")
 
     busy_any = union_ms(any_iv) / steps
     busy_compute = union_ms(compute_iv) / steps
