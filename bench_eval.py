@@ -25,7 +25,8 @@ import numpy as np
 
 A100_BASELINE_IMG_S = 20.0
 H, W = 832, 1344
-# batch 16 is the fastest stable point (58.0 img/s vs 55.7 at batch 8, bf16)
+# batch 16 is the fastest stable point (87.9 img/s vs 87.1 at batch 8;
+# the engine's TPU.EVAL_BATCH_SIZE default stays 8, within 1% of it)
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 

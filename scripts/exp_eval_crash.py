@@ -182,8 +182,6 @@ def main():
             return casc_fn(raw_fn(p, im, ih))
 
         if STAGE == "memstats":
-            import math
-
             def report(tag, compiled):
                 try:
                     ma = compiled.memory_analysis()
