@@ -66,6 +66,32 @@ def load_bench_cfg():
     return cfg
 
 
+def make_bench_batch(batch_size: int):
+    """The synthetic 832x1344 train batch all bench/A-B experiments measure
+    (one definition so exp_profile/exp_frozen_grads/exp_xla_flags compare
+    against exactly the bench workload): 20 GT boxes/img uniform in
+    position/size, image_hw (800, 1333) in the (832, 1344) bucket."""
+    from openset_rcnn_tpu.structures import GroundTruth, ImageBatch
+
+    rng = np.random.RandomState(0)
+    G = 100
+    boxes = np.zeros((batch_size, G, 4), np.float32)
+    classes = np.zeros((batch_size, G), np.int32)
+    valid = np.zeros((batch_size, G), bool)
+    for b in range(batch_size):
+        n = 20
+        xy = rng.uniform(0, 600, (n, 2))
+        wh = rng.uniform(30, 300, (n, 2))
+        boxes[b, :n] = np.concatenate([xy, xy + wh], 1)
+        classes[b, :n] = rng.randint(0, 20, n)
+        valid[b, :n] = True
+    return ImageBatch(
+        images=jnp.asarray(rng.uniform(0, 255, (batch_size, H, W, 3)).astype(np.float32)),
+        image_hw=jnp.asarray([[800, 1333]] * batch_size, jnp.float32),
+        gt=GroundTruth(jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(valid)),
+    )
+
+
 def preflight() -> None:
     """On-chip kernel gate: refuse to record a bench if the Pallas fast
     paths drift from their exact counterparts on the real device."""
@@ -111,9 +137,10 @@ def preflight() -> None:
     bwh[..., 1] = np.clip(bwh[..., 1], bwh[..., 0] / 3.0, bwh[..., 0] * 3.0)
     boxes = jnp.asarray(np.concatenate([bxy, bxy + bwh], -1))
 
-    def run(impl):
+    def run(impl, bwd="pallas"):
         def f(fs):
-            out = pool_features(fs, boxes, impl=impl, pool_dtype=jnp.float32)
+            out = pool_features(fs, boxes, impl=impl, bwd_impl=bwd,
+                                pool_dtype=jnp.float32)
             return jnp.sum(out * out)
 
         return float(jax.jit(f)(feats)), jax.tree.map(np.asarray, jax.jit(jax.grad(f))(feats))
@@ -129,15 +156,26 @@ def preflight() -> None:
                           f"gather on-chip: val_rel={val_rel:.3e} "
                           f"grad={grad_diff:.3e}"}), file=sys.stderr)
         raise SystemExit(2)
+    # the RECORDED config runs the bf16-accumulator backward
+    # (TPU.ROI_ALIGN_BWD=pallas_bf16) — gate it too, against the exact
+    # gather grads with a bound sized to accumulator rounding (historical
+    # full-step max rel error 7e-3 vs all-XLA, PERFORMANCE.md "bf16 RMW")
+    _, g_bf16 = run("pallas", bwd="pallas_bf16")
+    gscale = max(float(np.max(np.abs(g_ref[k]))) for k in feats)
+    bf16_rel = max(float(np.max(np.abs(g_ref[k] - g_bf16[k]))) for k in feats) / max(gscale, 1e-30)
+    if bf16_rel > 3e-2:
+        print(json.dumps({"error": "preflight: pallas_bf16 RoIAlign backward "
+                          f"drifted vs gather on-chip: rel={bf16_rel:.3e}"}),
+              file=sys.stderr)
+        raise SystemExit(2)
     print(f"preflight ok: matcher bitwise; roi_align val_rel={val_rel:.2e} "
-          f"grad={grad_diff:.2e}", file=sys.stderr)
+          f"grad={grad_diff:.2e} bf16_bwd_rel={bf16_rel:.2e}", file=sys.stderr)
 
 
 def main():
     from openset_rcnn_tpu.engine import build_optimizer, create_train_state, make_train_step
     from openset_rcnn_tpu.engine.train_loop import build_model_spec
     from openset_rcnn_tpu.models import OpensetRCNNModule, compute_anchors
-    from openset_rcnn_tpu.structures import GroundTruth, ImageBatch
 
     cfg = load_bench_cfg()
     batch_size = cfg.SOLVER.IMS_PER_BATCH
@@ -161,23 +199,7 @@ def main():
         donate_argnums=0,
     )
 
-    rng = np.random.RandomState(0)
-    G = 100
-    boxes = np.zeros((batch_size, G, 4), np.float32)
-    classes = np.zeros((batch_size, G), np.int32)
-    valid = np.zeros((batch_size, G), bool)
-    for b in range(batch_size):
-        n = 20
-        xy = rng.uniform(0, 600, (n, 2))
-        wh = rng.uniform(30, 300, (n, 2))
-        boxes[b, :n] = np.concatenate([xy, xy + wh], 1)
-        classes[b, :n] = rng.randint(0, 20, n)
-        valid[b, :n] = True
-    batch = ImageBatch(
-        images=jnp.asarray(rng.uniform(0, 255, (batch_size, H, W, 3)).astype(np.float32)),
-        image_hw=jnp.asarray([[800, 1333]] * batch_size, jnp.float32),
-        gt=GroundTruth(jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(valid)),
-    )
+    batch = make_bench_batch(batch_size)
     key = jax.random.PRNGKey(0)
 
     # NOTE: on the tunneled TPU backend block_until_ready is unreliable and

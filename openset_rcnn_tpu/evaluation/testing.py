@@ -258,7 +258,10 @@ def inference_on_dataset(
         nonlocal n_images, n_overflow_images, max_overflow
         out_np = jax.tree.map(np.asarray, out)
         if fused and getattr(out_np, "known_overflow", None) is not None:
-            ov = np.asarray(out_np.known_overflow)
+            # the loader pads the final partial batch by repeating its last
+            # example and truncates meta.image_ids to the real count — only
+            # count overflow on slots that are actually evaluated
+            ov = np.asarray(out_np.known_overflow)[: len(meta.image_ids)]
             if (ov > 0).any():
                 n_overflow_images += int((ov > 0).sum())
                 max_overflow = max(max_overflow, int(ov.max()))

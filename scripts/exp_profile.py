@@ -7,7 +7,9 @@ pallas_bf16 RoIAlign-grad accumulators) + the same BENCH_* env overrides.
 Prints device-busy ms/step by op family, plus device-busy MFU next to
 wall MFU (VERDICT r4 item 4).
 
-Usage: PYTHONPATH=. python scripts/exp_profile.py [out_dir]
+Usage: PYTHONPATH=.:$PYTHONPATH python scripts/exp_profile.py [out_dir]
+(APPEND to PYTHONPATH — overwriting drops /root/.axon_site and with it the
+TPU backend, CLAUDE.md)
 """
 from __future__ import annotations
 
@@ -31,10 +33,9 @@ def build():
     from openset_rcnn_tpu.engine import build_optimizer, create_train_state, make_train_step
     from openset_rcnn_tpu.engine.train_loop import build_model_spec
     from openset_rcnn_tpu.models import OpensetRCNNModule, compute_anchors
-    from openset_rcnn_tpu.structures import GroundTruth, ImageBatch
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from bench import load_bench_cfg
+    from bench import load_bench_cfg, make_bench_batch
 
     cfg = load_bench_cfg()
     spec = build_model_spec(cfg)
@@ -53,23 +54,7 @@ def build():
     BATCH = cfg.SOLVER.IMS_PER_BATCH
     print(f"profiling config: batch={BATCH} dtype={cfg.TPU.DTYPE} "
           f"roi_align_bwd={cfg.TPU.ROI_ALIGN_BWD}")
-    rng = np.random.RandomState(0)
-    G = 100
-    boxes = np.zeros((BATCH, G, 4), np.float32)
-    classes = np.zeros((BATCH, G), np.int32)
-    valid = np.zeros((BATCH, G), bool)
-    for b in range(BATCH):
-        xy = rng.uniform(0, 600, (20, 2))
-        wh = rng.uniform(30, 300, (20, 2))
-        boxes[b, :20] = np.concatenate([xy, xy + wh], 1)
-        classes[b, :20] = rng.randint(0, 20, 20)
-        valid[b, :20] = True
-    batch = ImageBatch(
-        images=jnp.asarray(rng.uniform(0, 255, (BATCH, H, W, 3)).astype(np.float32)),
-        image_hw=jnp.asarray([[800, 1333]] * BATCH, jnp.float32),
-        gt=GroundTruth(jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(valid)),
-    )
-    return step_fn, state, batch
+    return step_fn, state, make_bench_batch(BATCH)
 
 
 def summarize(out_dir: str, top: int = 30, batch: int | None = None,

@@ -33,12 +33,11 @@ CANDIDATES = [
 
 
 def main():
-    from bench import load_bench_cfg
+    from bench import load_bench_cfg, make_bench_batch
 
     from openset_rcnn_tpu.engine import build_optimizer, create_train_state, make_train_step
     from openset_rcnn_tpu.engine.train_loop import build_model_spec
     from openset_rcnn_tpu.models import OpensetRCNNModule, compute_anchors
-    from openset_rcnn_tpu.structures import GroundTruth, ImageBatch
 
     cfg = load_bench_cfg()
     B = cfg.SOLVER.IMS_PER_BATCH
@@ -50,22 +49,7 @@ def main():
     anchors, level_sizes = compute_anchors(spec, (H, W))
     tx, sched = build_optimizer(cfg, params)
 
-    rng = np.random.RandomState(0)
-    G = 100
-    boxes = np.zeros((B, G, 4), np.float32)
-    classes = np.zeros((B, G), np.int32)
-    valid = np.zeros((B, G), bool)
-    for b in range(B):
-        xy = rng.uniform(0, 600, (20, 2))
-        wh = rng.uniform(30, 300, (20, 2))
-        boxes[b, :20] = np.concatenate([xy, xy + wh], 1)
-        classes[b, :20] = rng.randint(0, 20, 20)
-        valid[b, :20] = True
-    batch = ImageBatch(
-        images=jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
-        image_hw=jnp.asarray([[800, 1333]] * B, jnp.float32),
-        gt=GroundTruth(jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(valid)),
-    )
+    batch = make_bench_batch(B)
     key = jax.random.PRNGKey(0)
 
     step = make_train_step(module, tx, spec, anchors, level_sizes, sched)

@@ -152,12 +152,16 @@ def test_production_tpu_config_matches_bench():
     assert cfg.TPU.DTYPE == "bfloat16"
     assert cfg.TPU.ROI_ALIGN_BWD == "pallas_bf16"
     assert cfg.SOLVER.IMS_PER_BATCH == 16
-    # linear LR scaling with batch (d2 convention): 0.005 * 16/4
+    # FULL d2/Goyal linear scaling for batch 16 = 4x the reference's 4:
+    # LR x4 AND iteration schedule /4, so images seen / decay epochs /
+    # warmup images match the reference recipe exactly
     assert cfg.SOLVER.BASE_LR == 0.02
+    assert cfg.SOLVER.MAX_ITER == 32000
+    assert tuple(cfg.SOLVER.STEPS) == (21000, 29000)
+    assert cfg.SOLVER.WARMUP_ITERS == 100
     # everything else inherits the reference benchmark hparams
     assert cfg.OPENDET_BENCHMARK is True
     assert cfg.MODEL.PLN.UNK_THR == 0.23
-    assert cfg.SOLVER.MAX_ITER == 128000
     # bench.py must read this file (not env-var defaults)
     import bench
 

@@ -112,11 +112,7 @@ def test_production_shape_mesh_compiles():
     conv FLOPs for no extra signal."""
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(
-        8,
-        bucket=(832, 1344),
-        batch_per_device=2,
-        production_sampling=True,
-        compile_only=True,
-        force_cpu=False,  # conftest already pinned the 8-device CPU backend
+    # single source of truth for the production-shape arguments
+    ge.dryrun_multichip_fullshape(
+        8, force_cpu=False  # conftest already pinned the 8-device CPU backend
     )

@@ -533,8 +533,10 @@ def test_inference_cascade_vs_torch_oracle(rng):
 # final WI/AOSE/AP metrics agree. (Running the python-loop torch conv +
 # RoIAlign mirror over 50 images would take hours; every cross-image
 # surface listed lives strictly downstream of the head outputs, which both
-# stacks consume bit-identically here. test_dataset_metrics_parity_full
-# below closes the remaining gap with a vectorized torch mirror.)
+# stacks consume bit-identically here — so per-image network parity
+# [the single-image full-pipeline oracle] composed with these dataset-
+# level cascade+evaluator oracles covers the reference acceptance
+# surface without a 50-image torch forward.)
 
 
 def _gen_openset_image(rng, K, RPC, E, P, hw, reps):
