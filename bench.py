@@ -66,6 +66,42 @@ def load_bench_cfg():
     return cfg
 
 
+def wait_for_chip(max_wait_s: int = 900, probe_timeout_s: int = 90) -> None:
+    """Block until the tunneled TPU answers a trivial matmul (bounded).
+
+    The shared chip goes unresponsive for 10-50 min after worker crashes —
+    including crashes by OTHER tenants (observed round 5 with no local
+    cause). A hanging in-process jax call cannot be timed out, so probe in
+    a SUBPROCESS and retry; proceed (and let the real run fail loudly) if
+    the chip stays down past max_wait_s. Skipped off-TPU and via
+    BENCH_WAIT_CHIP=0."""
+    import subprocess
+
+    if os.environ.get("BENCH_WAIT_CHIP", "1") == "0":
+        return
+    deadline = time.monotonic() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0 and b"512" in r.stdout:
+                if attempt > 1:
+                    print(f"chip responsive after {attempt} probes", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print(f"chip still unresponsive after {max_wait_s}s; "
+                  "proceeding anyway", file=sys.stderr)
+            return
+        print("chip unresponsive (recovering?); retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def make_bench_batch(batch_size: int):
     """The synthetic 832x1344 train batch all bench/A-B experiments measure
     (one definition so exp_profile/exp_frozen_grads/exp_xla_flags compare
@@ -180,6 +216,10 @@ def main():
     cfg = load_bench_cfg()
     batch_size = cfg.SOLVER.IMS_PER_BATCH
 
+    # probe BEFORE any backend-touching jax call — on a dead tunnel even
+    # jax.default_backend() can block, and only a subprocess can be timed out
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", "axon").lower():
+        wait_for_chip()
     if os.environ.get("BENCH_PREFLIGHT", "1") != "0" and jax.default_backend() != "cpu":
         preflight()
 
