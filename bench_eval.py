@@ -31,7 +31,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 16))
 
 
 def main():
-    from bench import load_bench_cfg
+    from bench import load_bench_cfg, wait_for_chip
 
     from openset_rcnn_tpu.engine.train_loop import build_model_spec
     from openset_rcnn_tpu.evaluation.postprocess import PostprocessConfig
@@ -44,6 +44,9 @@ def main():
     # round-5 root cause). Round-4's 89.7 img/s record was measured at the
     # yacs-default 100 — not reproducible from any checked-in file — so
     # numbers from this version supersede it.
+    # transient-outage resilience, before any backend-touching call (bench.py)
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", "axon").lower():
+        wait_for_chip()
     cfg = load_bench_cfg()
     # env overrides apply ONLY when explicitly set (bench.py pattern; BENCH_DTYPE
     # is already applied by load_bench_cfg) — the measured default
